@@ -1,0 +1,67 @@
+"""Table catalog: load the driver's parquet tables and register views.
+
+All Tier-A queries address tables by name; registering temp views once
+per (session, sf_dir) keeps both the DataFrame-API and ``spark.sql``
+paths on identical scans, with full Catalyst pushdown into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from amadou_spark.contracts import TABLE_NAMES, TPCH_TABLES
+
+# session-id → sf_dir whose tables are currently registered as views
+_CURRENT: dict[int, str] = {}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain parquet scan. No .cache() — at 100 TB a blanket cache is
+    a liability; Catalyst prunes columns/partitions per query instead.
+
+    Timestamp normalization: the testdata mixes timestamp[ms] and
+    timestamp[ns] parquet columns (FIXTURES.md). Spark 4 has no native
+    TIMESTAMP(NANOS) support, so we read nanos as long
+    (spark.sql.legacy.parquet.nanosAsLong — a runtime SQL conf) and
+    rebuild a microsecond TimestampType with exact integer division
+    (`ts div 1000`, matching DuckDB's truncation). This is a
+    zero-copy columnar projection, not a UDF — it stays inside
+    whole-stage codegen.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    contract = TPCH_TABLES.get(name)
+    if contract is not None:
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        fixes = [
+            f.name
+            for f in contract.fields
+            if isinstance(f.dataType, T.TimestampType)
+            and isinstance(actual.get(f.name), T.LongType)
+        ]
+        for col in fixes:
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view.
+
+    Idempotent while sf_dir is unchanged; switching sf_dir re-points the
+    views so spark.sql-path queries always read the requested scale."""
+    sf_dir = sf_dir.rstrip("/")
+    refresh = _CURRENT.get(id(spark)) != sf_dir
+    tables = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        tables[name] = df
+        if refresh:
+            df.createOrReplaceTempView(name)
+    _CURRENT[id(spark)] = sf_dir
+    return tables

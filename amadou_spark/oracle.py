@@ -1,0 +1,134 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query through BOTH engines — our PySpark
+implementation and the DuckDB oracle SQL — on the same parquet tables,
+then compares row count, column names, and an order-insensitive value
+multiset. Exact equality is required (the driver hashes values); a
+separate "close" verdict distinguishes float-noise from real bugs when
+something does mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from amadou_spark.catalog import table_path
+from amadou_spark.contracts import TABLE_NAMES
+from amadou_spark.queries import REGISTRY, _load
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views named exactly like the driver pre-registers them."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _canon(value: object) -> object:
+    """Canonicalize a cell for multiset comparison."""
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse -0.0 and represent at full precision
+        return repr(value + 0.0)
+    if isinstance(value, list):
+        return tuple(_canon(v) for v in value)
+    return value
+
+
+def _close(a: object, b: object, tol: float = 1e-9) -> bool:
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    try:
+        fa, fb = float(a), float(b)  # type: ignore[arg-type]
+        return math.isclose(fa, fb, rel_tol=tol, abs_tol=tol)
+    except (TypeError, ValueError):
+        return a == b
+
+
+@dataclass
+class CheckResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = -1
+    oracle_rows: int = -1
+    notes: list[str] = field(default_factory=list)
+
+
+def check_query(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    name: str,
+    sf_dir: str,
+) -> CheckResult:
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = sdf.collect()
+
+    if q.oracle is None:
+        return CheckResult(name, True, "no oracle (rows-only check)", len(s_rows), -1)
+
+    cur = con.execute(q.oracle)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+
+    if sorted(s_cols) != sorted(o_cols):
+        return CheckResult(
+            name, False, f"column mismatch: spark={s_cols} oracle={o_cols}",
+            len(s_rows), len(o_rows),
+        )
+    if len(s_rows) != len(o_rows):
+        return CheckResult(
+            name, False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}",
+            len(s_rows), len(o_rows),
+        )
+
+    # driver compare sorts columns by name → do the same
+    s_ix = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    o_ix = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    s_set = sorted(
+        (tuple(_canon(r[i]) for i in s_ix) for r in s_rows), key=repr
+    )
+    o_set = sorted(
+        (tuple(_canon(r[i]) for i in o_ix) for r in o_rows), key=repr
+    )
+    if s_set == o_set:
+        return CheckResult(name, True, "exact match", len(s_rows), len(o_rows))
+
+    # diagnose: first differing row pair + closeness verdict
+    n_diff = sum(1 for a, b in zip(s_set, o_set) if a != b)
+    first = next((i for i, (a, b) in enumerate(zip(s_set, o_set)) if a != b), -1)
+    all_close = all(
+        len(a) == len(b) and all(_close(x, y) for x, y in zip(a, b))
+        for a, b in zip(s_set, o_set)
+    )
+    detail = (
+        f"value mismatch in {n_diff}/{len(s_set)} rows "
+        f"({'float-noise-close' if all_close else 'REAL DIVERGENCE'}); "
+        f"first diff @{first}:\n  spark:  {s_set[first] if first >= 0 else None}\n"
+        f"  oracle: {o_set[first] if first >= 0 else None}"
+    )
+    return CheckResult(name, False, detail, len(s_rows), len(o_rows))
+
+
+def check_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[CheckResult]:
+    _load()
+    con = duckdb_connection(sf_dir)
+    results = []
+    for name in names or sorted(REGISTRY):
+        try:
+            results.append(check_query(spark, con, name, sf_dir))
+        except Exception as exc:
+            results.append(CheckResult(name, False, f"EXCEPTION: {exc}"))
+    return results

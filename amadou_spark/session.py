@@ -1,0 +1,81 @@
+"""SparkSession factory with config forwarding.
+
+Mirrors the reference's session bootstrap (SparkRunner.scala:66-77):
+every ``spark.*`` key from user config is forwarded into the builder
+with set-if-missing semantics; sensitive credentials (S3) are injected
+into the Hadoop configuration AFTER the session is built so they never
+appear in logged SparkConf (SparkRunner.scala:83-87).
+
+Defaults are tuned for correctness-vs-oracle and for scale posture:
+UTC session timezone (cross-engine timestamp determinism), AQE on
+(runtime re-planning, skew-join handling at scale), Arrow on (fast
+pandas-UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+# Keys every session gets unless the caller overrides them. At 100 TB on a
+# real cluster the shuffle-partition count is sized by AQE coalescing from
+# an intentionally-high initial value; on local[N] we start near the core
+# count to avoid tiny-partition overhead.
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    app_name: str = "amadou_spark",
+    master: str | None = None,
+    conf: Mapping[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``conf`` entries win over our defaults; both are applied with plain
+    ``config`` (last writer wins before getOrCreate). Secrets should go
+    through :func:`inject_s3_credentials` after the session exists.
+    """
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    merged = dict(_DEFAULTS)
+    if conf:
+        merged.update(conf)
+    for key, value in merged.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def inject_s3_credentials(
+    spark: SparkSession, access_key: str, secret_key: str
+) -> None:
+    """Set s3a credentials post-session so they never hit logged conf.
+
+    Reference behavior: SparkRunner.scala:83-87 reads an AWS_CREDENTIALS
+    profile file and sets the two Hadoop keys on the live context.
+    """
+    hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hadoop_conf.set("fs.s3a.access.key", access_key)
+    hadoop_conf.set("fs.s3a.secret.key", secret_key)
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
