@@ -1,0 +1,104 @@
+"""Text analysis operators over a document corpus.
+
+All JVM-side (built-in pyspark.sql.functions — no Python UDFs in any
+hot path), so they stay inside whole-stage codegen and scale linearly
+with executors. Hashes use a PORTABLE construction (first 8 hex chars
+of md5 → int32-range bigint) so results are oracle-checkable in DuckDB
+with `CAST('0x' || substring(md5(x),1,8) AS BIGINT)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword
+#: language-ID heuristic. Deterministic, content-based.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "zai", "you"),
+}
+
+STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def portable_token_hash(c: Column) -> Column:
+    """32-bit-range hash of a string, identical in Spark and DuckDB:
+    int(md5(x)[:8], 16). Used wherever a cross-engine-checkable hash is
+    needed (SimHash, fingerprints). For pure-Spark paths prefer
+    F.xxhash64 (cheaper, 64-bit)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (documents.text is space-separated)."""
+    return F.split(text, r"\s+")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: token counts (whitespace + BPE-ish
+    regex), mean token length, punctuation ratio, stopword ratio.
+    One narrow projection — no shuffle at all."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_ws = F.size(toks).cast("bigint")
+    n_bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("bigint")
+    n_chars = F.length(text).cast("bigint")
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        n_chars.alias("n_chars_calc"),
+        F.round((n_chars - (n_ws - 1)) / n_ws, 4).alias("mean_token_len"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop / n_ws, 4).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scoring: count marker hits per language,
+    predict the argmax (ties broken by language code order). A
+    deterministic heuristic stand-in for a real n-gram model; the
+    Spark shape (scan + projection, zero shuffles) is the point."""
+    toks = tokens(F.col(text_col))
+
+    def marker_count(markers: tuple[str, ...]):
+        # single-arg lambda (PySpark treats 2-arg lambdas as (element, index))
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+
+    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1_000_003) -> DataFrame:
+    """Order-sensitive document fingerprint: Σ position·hash(token) mod p.
+
+    Position-weighting makes it order-sensitive while the outer SUM stays
+    commutative — so Spark can compute it as a partial-aggregated
+    explode/sum with no sort, and DuckDB reproduces it exactly
+    (generate_subscripts is 1-based; we match with pos+1)."""
+    toks = docs.select("doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    tokval = portable_token_hash(F.col("tok")) % mod
+    return (
+        toks.select("doc_id", (((F.col("pos") + 1) * tokval) % mod).alias("term"))
+        .groupBy("doc_id")
+        .agg((F.sum("term") % mod).alias("fingerprint"))
+    )

@@ -1,4 +1,359 @@
-"""LLM-data-pipeline operators as declared queries (SURVEY.md §2.2 B08-B10
-plus the north-star extensions) — filled in incrementally."""
+"""LLM-data-pipeline operators as declared queries (SURVEY §2.2 B08-B10
+plus the north-star extensions): dedup (exact / n-gram Jaccard / SimHash
+/ MinHash-LSH), similarity search (brute-force + LSH), text analysis,
+multimodal plumbing.
+
+Oracle philosophy: wherever the operator is deterministic we make it
+CROSS-ENGINE CHECKABLE, including the hash-based ones — signatures use
+the portable md5-hex construction so even SimHash and fingerprints get
+real DuckDB oracles. Only genuinely non-SQL ops (MinHash-LSH banding,
+random-hyperplane LSH, Arrow mapInPandas stubs) fall back to the
+rows-only check, with pytest pinning their semantics instead.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amadou_spark.catalog import register_tables
+from amadou_spark.llm.dedup import (
+    SIMHASH_BITS,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from amadou_spark.llm.multimodal import as_media_table, extract_features, frame_sample_stub
+from amadou_spark.llm.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from amadou_spark.llm.text import LANG_MARKERS, STOPWORDS_EN, fingerprint, language_id, text_stats
+from amadou_spark.queries import query
+
+#: DuckDB spelling of the portable token hash (Spark: conv(substr(md5,1,8),16,10)).
+_DUCK_H = "CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+        ORDER BY keep_id
+    """,
+    description="exact dedup: group on sha2-256 content hash, keep min doc_id; "
+    "shuffle carries 32-byte keys, never documents",
+)
+def llm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return dedup_exact(t["documents"]).orderBy("keep_id")
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), ok AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
+        ORDER BY jaccard DESC, id_a, id_b
+        LIMIT 200
+    """,
+    description="near-dup via 3-gram Jaccard: inverted-index self-join (no "
+    "cross join); stop-shingle cap bounds the quadratic fan-out at scale",
+)
+def llm_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        ngram_jaccard_pairs(t["documents"], min_jaccard=0.05, max_shingle_freq=1000)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(200)
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id, {_DUCK_H} AS h FROM toks
+        ), votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+        FROM votes ORDER BY doc_id
+    """
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=_simhash_oracle(),
+    description="32-bit SimHash signatures, bit-for-bit oracle-checked via the "
+    "portable md5 token hash (explode → 32 vote-sums → bit recombination, all "
+    "JVM-side)",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return simhash(t["documents"]).orderBy("doc_id")
+
+
+@query(
+    "llm_dedup_simhash_pairs",
+    oracle=f"""
+        WITH sigs AS ({_simhash_oracle().replace("ORDER BY doc_id", "")})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
+    """,
+    description="SimHash near-dup pairs (Hamming ≤ 3) via byte-band pigeonhole "
+    "buckets — the Spark plan equi-joins on (band, value), never cross-joins; "
+    "the oracle brute-forces the same answer on the small fixture",
+)
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        simhash_near_pairs(t["documents"], max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "llm_dedup_minhash",
+    oracle=None,  # LSH banding is not SQL-expressible; tests pin recall
+    description="MinHash-LSH candidate pairs (pyspark.ml MinHashLSH, seeded): "
+    "shingles → binary HashingTF → 64 minhash tables → approxSimilarityJoin",
+)
+def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"], max_distance=0.9).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------- similarity
+
+@query(
+    "llm_similarity_topk",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+            FROM q CROSS JOIN c
+            WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
+    """,
+    description="brute-force cosine top-5 for 20 query vectors: broadcast "
+    "queries × corpus scan, dot product via JVM zip_with/aggregate fold "
+    "(double precision, sequential — reproducible), per-query top-k window",
+)
+def llm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return cosine_topk_bruteforce(t["embeddings"], query_ids=list(range(20)), k=5)
+
+
+@query(
+    "llm_similarity_lsh",
+    oracle=None,  # random hyperplanes — recall pinned by tests vs brute force
+    description="ANN via random-hyperplane LSH: sign-bit signatures → band "
+    "equi-join candidates → exact cosine re-rank (the 100 TB path where "
+    "brute force is off the table)",
+)
+def llm_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return cosine_topk_lsh(t["embeddings"], query_ids=list(range(20)), k=5)
+
+
+# ---------------------------------------------------------------- text analysis
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len,
+               ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    description="text quality scoring: token counts (whitespace + BPE-ish "
+    "regex), mean token length, punctuation ratio, stopword ratio — one "
+    "narrow JVM-side projection, zero shuffles",
+)
+def llm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return text_stats(t["documents"]).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({markers}))) AS BIGINT) AS score_{lang}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
+    cases = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    scores = ",\n               ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang, {", ".join(score_cols)}
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               {scores},
+               CASE {cases} END AS lang_pred
+        FROM scored ORDER BY doc_id
+    """
+
+
+@query(
+    "llm_text_langid",
+    oracle=_langid_oracle(),
+    description="marker-word language ID: per-language stopword hit counts, "
+    "argmax prediction (lexicographic tie-break)",
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return language_id(t["documents"]).orderBy("doc_id")
+
+
+@query(
+    "llm_text_fingerprint",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(SUM((pos * ({_DUCK_H} % 1000003)) % 1000003) % 1000003 AS BIGINT)
+                 AS fingerprint
+        FROM toks GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="order-sensitive document fingerprint: Σ position·hash(token) "
+    "mod p — order-sensitive yet sum-commutative, so Spark computes it with "
+    "partial aggregation and no sort",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return fingerprint(t["documents"]).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- multimodal
+
+@query(
+    "llm_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_hash
+        FROM documents ORDER BY doc_id
+    """,
+    description="multimodal column plumbing: opaque binary payload + typed "
+    "metadata struct (type, size, content hash) derived fully JVM-side",
+)
+def llm_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    media = as_media_table(t["documents"])
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_multimodal_features",
+    oracle=None,  # mapInPandas stub decode — Arrow plumbing, not SQL
+    description="decode/feature-extract via mapInPandas (Arrow-batched); codec "
+    "is a deterministic stub (no image libs in container) — schema, batching "
+    "and partition plumbing are real",
+)
+def llm_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    feats = extract_features(as_media_table(t["documents"]))
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle="""
+        SELECT doc_id,
+               GREATEST(CAST(FLOOR(octet_length(encode(text)) / 80.0) AS BIGINT), 1)
+                 AS n_frames
+        FROM documents ORDER BY doc_id
+    """,
+    description="video frame-sampling plumbing: one media row explodes to "
+    "n_frames slice rows; oracle checks the fan-out arithmetic",
+)
+def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    frames = frame_sample_stub(as_media_table(t["documents"]))
+    return (
+        frames.groupBy("doc_id").agg(F.count("*").alias("n_frames")).orderBy("doc_id")
+    )

@@ -1,3 +1,375 @@
-"""Tier B declared queries (SURVEY.md §2.2 B01-B07) — filled in incrementally."""
+"""Tier B declared queries (SURVEY.md §2.2 B01-B07): arrays, maps, JSON,
+UDF surface, approximate aggregates, streaming windows.
+
+Where the semantics are portable SQL, a DuckDB oracle is attached
+(engine-specific spellings differ — e.g. map access returns a scalar in
+Spark's element_at but a single-element LIST in DuckDB — the oracle
+normalizes to the same scalar output). Approx aggregates are
+tolerance-verified in tests instead of hash-checked.
+"""
 
 from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from amadou_spark.catalog import register_tables
+from amadou_spark.queries import query
+from amadou_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_table,
+    session_windows_batch,
+    sliding_counts,
+    stream_dedup_by_key,
+    tumbling_counts,
+)
+
+# ---------------------------------------------------------------- B01 arrays
+
+@query(
+    "b01_array_ops",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               string_split(text, ' ')[1] AS first_token
+        FROM documents ORDER BY doc_id
+    """,
+    description="array functions: split/size/array_contains/element access "
+    "[R: DuckDB lists are 1-indexed, Spark element_at is 1-indexed too]",
+)
+def b01_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+            F.element_at(toks, 1).alias("first_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "b01_explode_tokens",
+    oracle="""
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok ORDER BY tok
+    """,
+    description="explode + re-aggregate: corpus token frequencies",
+)
+def b01_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tok")
+    )
+
+
+@query(
+    "b01_collect_list_sorted",
+    oracle="""
+        SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        FROM documents WHERE doc_id < 50 GROUP BY lang ORDER BY lang
+    """,
+    description="deterministic collect_list: sorted aggregation rendered as a "
+    "string so both engines hash identically",
+)
+def b01_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("doc_ids")
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- B02 maps
+
+@query(
+    "b02_map_ops",
+    oracle="""
+        SELECT event_id,
+               map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS et,
+               CAST(len(map_keys(map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]))) AS INT) AS n_keys
+        FROM events ORDER BY event_id
+    """,
+    description="map construction/access/keys [R: DuckDB map access yields a "
+    "1-element list — normalized with [1]]",
+)
+def b02_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.element_at(m, "type").alias("et"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------- B03 JSON
+
+@query(
+    "b03_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+        FROM events ORDER BY event_id
+    """,
+    description="JSON scalar extraction from string column (events.props)",
+)
+def b03_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.get_json_object("props", "$.missing").cast("bigint").alias("missing"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "b03_from_json_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="from_json schema projection + aggregate over parsed field",
+)
+def b03_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        t["events"]
+        .select("event_type", parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- B04 UDFs
+
+@query(
+    "b04_pandas_udf_scalar",
+    oracle="""
+        SELECT event_id, ROUND(value * 1.1 + CAST(event_id % 7 AS DOUBLE), 4) AS scaled
+        FROM events ORDER BY event_id
+    """,
+    description="vectorized pandas UDF (Arrow batches) — the sanctioned slow "
+    "path; the oracle recomputes the same arithmetic in SQL",
+)
+def b04_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+
+    @F.pandas_udf(T.DoubleType())
+    def scale(value: pd.Series, event_id: pd.Series) -> pd.Series:
+        return value * 1.1 + (event_id % 7).astype("float64")
+
+    return (
+        t["events"]
+        .select("event_id", F.round(scale("value", "event_id"), 4).alias("scaled"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "b04_python_udf",
+    oracle="""
+        SELECT event_id, UPPER(event_type) || '-' || CAST(user_id % 10 AS VARCHAR) AS tag
+        FROM events ORDER BY event_id
+    """,
+    description="row-at-a-time Python UDF (kept OUT of hot paths; here only to "
+    "pin the API surface — the reference's one UDF is TestEtl.scala:92)",
+)
+def b04_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+
+    @F.udf(T.StringType())
+    def tag(event_type: str, user_id: int) -> str:
+        return f"{event_type.upper()}-{user_id % 10}"
+
+    return t["events"].select("event_id", tag("event_type", "user_id").alias("tag")).orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "b04_grouped_zscore",
+    oracle="""
+        SELECT event_id,
+               ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                     / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0), 2) AS zscore
+        FROM events ORDER BY event_id
+    """,
+    description="grouped-map applyInPandas (per-group pandas DataFrame) "
+    "computing per-user z-scores; oracle = window AVG/STDDEV",
+)
+def b04_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        if pd.isna(std) or std == 0:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            z = (pdf["value"] - pdf["value"].mean()) / std
+        return pd.DataFrame({"event_id": pdf["event_id"], "zscore": z})
+
+    out = (
+        t["events"]
+        .select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id bigint, zscore double")
+    )
+    return out.select("event_id", F.round("zscore", 2).alias("zscore")).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- B05 approx
+
+@query(
+    "b05_approx_count_distinct",
+    oracle=None,  # approximate → tolerance-checked in tests, not hash-checked
+    description="HyperLogLog++ distinct estimate per event_type (exactness "
+    "tolerance pinned by tests vs exact count)",
+)
+def b05_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "b05_percentile_approx",
+    oracle=None,
+    description="approximate percentiles of event value per type",
+)
+def b05_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- B06/B07 streaming
+
+@query(
+    "b06_tumbling_stream",
+    oracle="""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+               event_type,
+               count(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY wstart, event_type
+    """,
+    description="Structured Streaming tumbling windows: events parquet "
+    "replayed through FileStreamSource → watermark → windowed agg → memory "
+    "sink; oracle is the batch-equivalent bucketing",
+)
+def b06_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = run_stream_to_table(tumbling_counts(stream), mode="complete")
+    return result.orderBy("wstart", "event_type")
+
+
+@query(
+    "b06_sliding_batch",
+    oracle="""
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - i.i * INTERVAL '5 minutes' AS wstart,
+               event_type, count(*) AS n_events
+        FROM events CROSS JOIN (VALUES (0), (1)) i(i)
+        GROUP BY 1, 2 ORDER BY wstart, event_type
+    """,
+    description="sliding windows (10 min / 5 min): every event in exactly 2 "
+    "windows; oracle materializes both memberships",
+)
+def b06_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return sliding_counts(t["events"]).orderBy("wstart", "event_type")
+
+
+@query(
+    "b07_session_windows",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM gaps
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    description="gap-based session windows (F.session_window, 30 min gap); "
+    "oracle = classic lag/cumsum sessionization",
+)
+def b07_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return session_windows_batch(t["events"]).orderBy("user_id", "session_start")
+
+
+@query(
+    "b07_stream_dedup",
+    oracle="""
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="stateful streaming dedup: events stream unioned with itself "
+    "(every row duplicated) → dropDuplicatesWithinWatermark(event_id) → "
+    "per-type counts equal the original singles",
+)
+def b07_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    deduped = stream_dedup_by_key(doubled, "event_id")
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_stream_to_table(counts, mode="complete").orderBy("event_type")

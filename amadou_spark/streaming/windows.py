@@ -1,0 +1,130 @@
+"""Windowed streaming aggregations over the events table.
+
+Batch/stream duality is the design point: every streaming query here
+has a batch-equivalent DataFrame expression (same `F.window` /
+`F.session_window` calls on a batch read), which is what the DuckDB
+oracle checks. The streaming path is exercised by replaying the events
+parquet through a FileStreamSource into a memory sink.
+
+Watermark notes for the real (unbounded) deployment: `withWatermark`
+bounds state: windows older than (max event time − delay) are finalized
+and dropped from the state store; late rows beyond the watermark are
+discarded. State size ~ O(active windows × groups), independent of
+stream length — that is what makes these queries run forever at scale.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Raw parquet schema of events (ts is TIMESTAMP(NANOS) → read as long).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a stream.
+
+    FileStreamSource requires a directory-resolvable path, so the exact
+    file is matched with a one-character glob (`events.parque[t]`).
+    The nanos→µs conversion matches amadou_spark.catalog.load_table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir.rstrip('/')}/events.parque[t]"
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_stream_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a (finite) streaming query to completion through a memory
+    sink and return the result as a batch DataFrame. Test/verification
+    harness — a production deployment writes to Kafka/parquet instead."""
+    spark = stream_df.sparkSession
+    name = f"amadou_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Per-(window, event_type) counts over non-overlapping windows.
+    Works identically on a batch or streaming `events` input."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", "1 hour")
+    return (
+        df.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Overlapping (sliding) windows: each event lands in width/slide
+    windows. Same code path batch or stream."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", "1 hour")
+    return (
+        df.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events")
+    )
+
+
+def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). `F.session_window` works on
+    batch DataFrames too — session = run of events where consecutive
+    gaps < gap; window.end = last event + gap."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", "1 hour")
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_by_key(events: DataFrame, *keys: str, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark keeps
+    per-key state only inside the watermark horizon (bounded state —
+    the scale-safe variant of dropDuplicates on an unbounded stream)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))

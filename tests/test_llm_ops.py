@@ -1,0 +1,137 @@
+"""Semantic tests for the LLM-data operators whose full pipelines are
+not SQL-expressible (LSH variants, multimodal Arrow plumbing) plus
+approximate-aggregate tolerance checks — the non-oracle half of the
+correctness story."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadou_spark.catalog import load_table
+from amadou_spark.llm.dedup import dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from amadou_spark.llm.multimodal import as_media_table, extract_features, frame_sample_stub
+from amadou_spark.llm.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with exact and near duplicates planted at known ids."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    other = "completely different words about spark query engines and shuffles everywhere"
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, near),          # near dup of 1 (one token differs)
+        (4, other),
+        (5, "tiny doc"),    # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+class TestDedupSemantics:
+    def test_exact_dedup_groups_identical_texts(self, planted):
+        out = {r.keep_id: r.n_copies for r in dedup_exact(planted).collect()}
+        assert out[1] == 2  # docs 1+2 collapse
+        assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+    def test_ngram_jaccard_finds_planted_near_dup(self, planted):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(planted, min_jaccard=0.05).collect()
+        }
+        assert pairs[(1, 2)] == 1.0  # exact dup → jaccard 1
+        assert pairs[(1, 3)] > 0.5  # near dup → high jaccard
+        assert (1, 4) not in pairs  # unrelated → no candidate pair
+
+    def test_minhash_lsh_finds_planted_near_dup(self, planted):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard_dist
+            for r in minhash_lsh_pairs(planted, max_distance=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 0.0
+        assert (1, 3) in pairs and pairs[(1, 3)] < 0.5
+        assert (1, 4) not in pairs
+
+    def test_simhash_identical_texts_same_signature(self, planted):
+        sigs = {r.doc_id: r.simhash for r in simhash(planted).collect()}
+        assert sigs[1] == sigs[2]
+        assert 0 <= sigs[1] < 2**32
+        assert sigs[1] != sigs[4]
+
+
+class TestSimilaritySearch:
+    def test_lsh_recall_vs_bruteforce(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = list(range(10))
+        exact = cosine_topk_bruteforce(emb, query_ids=qids, k=5).collect()
+        approx = cosine_topk_lsh(
+            emb, query_ids=qids, k=5, n_planes=16, n_bands=8
+        ).collect()
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_bruteforce_topk_is_sorted_and_bounded(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = cosine_topk_bruteforce(emb, query_ids=[0], k=3).collect()
+        assert [r.rank for r in rows] == [1, 2, 3]
+        assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+class TestMultimodal:
+    def test_media_table_metadata(self, spark, sf_dir):
+        media = as_media_table(load_table(spark, sf_dir, "documents"))
+        row = media.filter(F.col("doc_id") == 0).collect()[0]
+        assert row.meta.media_type == "image"
+        assert row.meta.n_bytes == len(bytes(row.payload))
+        assert len(row.meta.content_hash) == 64
+
+    def test_extract_features_batch_shape(self, spark, sf_dir):
+        media = as_media_table(load_table(spark, sf_dir, "documents").limit(20))
+        feats = extract_features(media).collect()
+        assert len(feats) == 20
+        assert all(len(r.feature) == 8 for r in feats)
+        assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
+
+    def test_frame_sample_fanout(self, spark, sf_dir):
+        media = as_media_table(load_table(spark, sf_dir, "documents").limit(5))
+        frames = frame_sample_stub(media)
+        per_doc = {
+            r.doc_id: r.n
+            for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+        }
+        meta = {r.doc_id: r.meta.n_bytes for r in media.collect()}
+        for doc_id, n in per_doc.items():
+            assert n == max(meta[doc_id] // 80, 1)
+
+
+class TestApproxAggregates:
+    def test_approx_count_distinct_tolerance(self, spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        approx = {
+            r.event_type: r.a
+            for r in events.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("a"))
+            .collect()
+        }
+        exact = {
+            r.event_type: r.e
+            for r in events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("e"))
+            .collect()
+        }
+        for et, e in exact.items():
+            assert abs(approx[et] - e) / e < 0.1
+
+    def test_percentile_approx_tolerance(self, spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        row = events.agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.expr("percentile(value, 0.5)").alias("exact"),
+        ).collect()[0]
+        assert abs(row.p50 - row.exact) <= abs(row.exact) * 0.05 + 1e-6
