@@ -31,24 +31,74 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document.
+def shingles_of(toks: Column, fallback: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    IMPORTANT: ``toks`` must reference a MATERIALIZED column (project
+    `split(...)` into a named column first). Passing the split
+    expression directly re-evaluates the split inside every element_at
+    of the lambda — O(tokens²) strings per document, ~10× slower at
+    corpus scale.
 
     Documents shorter than n tokens fall back to a single whole-text
-    shingle: (a) short docs stay comparable (by exact text), and (b) no
-    row ever carries an empty shingle set — MinHashLSH rejects all-zero
-    vectors, and a filter is not a reliable guard because Spark may
-    evaluate UDF projections before filters within a collapsed stage.
-    Also note Spark's sequence(0, -k) counts DOWN, so the n-token guard
-    is required for correctness, not just hygiene."""
-    toks = tokens(text)
+    shingle (``fallback``): (a) short docs stay comparable (by exact
+    text), and (b) no row ever carries an empty shingle set —
+    MinHashLSH rejects all-zero vectors, and a filter is not a reliable
+    guard because Spark may evaluate UDF projections before filters in
+    a collapsed stage. Also note Spark's sequence(0, -k) counts DOWN,
+    so the n-token guard is required for correctness, not just hygiene.
+    """
     made = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         )
     )
-    return F.when(F.size(toks) >= n, made).otherwise(F.array(text))
+    return F.when(F.size(toks) >= n, made).otherwise(F.array(fallback))
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sh) with the token array materialized before shingling."""
+    return (
+        docs.select("doc_id", F.col(text_col).alias("_text"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", shingles_of(F.col("_toks"), F.col("_text"), n).alias("sh"))
+    )
+
+
+def exploded_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) one row per shingle occurrence — the codegen
+    fast path for shingling at corpus scale.
+
+    Built from slice + arrays_zip + explode + concat_ws instead of a
+    higher-order ``transform`` lambda: Spark's higher-order functions
+    run on the INTERPRETED expression path (no whole-stage codegen),
+    which measured ~2× slower per element. Short docs (<n tokens)
+    contribute their whole text as a single shingle via a cheap union
+    (same fallback semantics as ``shingles_of``)."""
+    toks = docs.select(
+        "doc_id", F.col(text_col).alias("_text"), tokens(F.col(text_col)).alias("_t")
+    ).withColumn("_sz", F.size("_t"))
+    zipped = F.arrays_zip(
+        *[F.slice("_t", j + 1, F.col("_sz") - (n - 1)).alias(f"w{j}") for j in range(n)]
+    )
+    main = (
+        toks.filter(F.col("_sz") >= n)
+        .select("doc_id", F.explode(zipped).alias("_z"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"_z.w{j}" for j in range(n)]).alias("shingle"),
+        )
+    )
+    fallback = toks.filter(F.col("_sz") < n).select(
+        "doc_id", F.col("_text").alias("shingle")
+    )
+    return main.union(fallback)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Expression form (small inputs / tests). Hot paths use
+    ``with_shingles`` to avoid re-evaluating the split per element."""
+    return shingles_of(tokens(text), text, n)
 
 
 def ngram_jaccard_pairs(
@@ -69,8 +119,17 @@ def ngram_jaccard_pairs(
     carrying almost no signal — this is the skew guard that keeps the
     self-join bounded at corpus scale.
     """
-    sh = docs.select(
-        F.col("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    # join on a 64-bit shingle hash, not the string: the self-join
+    # shuffle then carries 8-byte keys instead of ~n·word-length strings
+    # (collision odds at xxhash64 width are ~|shingles|²/2⁶⁵ — nil).
+    # The .distinct() is both semantics (set Jaccard) AND the plan's
+    # sharing point: every downstream consumer (counts, stop-shingles,
+    # both self-join sides) reads the same Exchange, which Spark
+    # de-duplicates via ReusedExchange — the explode runs ONCE.
+    sh = (
+        exploded_shingles(docs, text_col, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hot = (
@@ -181,25 +240,132 @@ def simhash_near_pairs(
     return pairs
 
 
+#: MinHash affine-hash domain: h_i(x) = (a_i·x + b_i) mod P. P is a
+#: Mersenne prime < 2^61; coefficients < 2^30 and x < 2^32 keep a·x
+#: inside signed-64 range in every engine.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(num_hashes)
+    ]
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
     max_distance: float = 0.6,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs via MinHash LSH (pyspark.ml.feature.MinHashLSH):
-    shingle set → sparse binary vector (HashingTF) → MinHash signatures
-    → approxSimilarityJoin (band-bucketed, never O(n²)). Returns
-    (id_a, id_b, jaccard_dist). Not SQL-expressible → rows-only check;
-    correctness is pinned by tests against exact Jaccard on planted
-    near-duplicates."""
+    """Near-dup pairs via banded MinHash LSH, built from first
+    principles on DataFrame ops (every step codegen-able, every hash
+    portable — the whole pipeline is DuckDB-oracle-checkable):
+
+      shingles → portable 32-bit hash x → num_hashes affine min-hashes
+      (the signature) → bands of ``rows_per_band`` signature rows →
+      equi-join on (band, row values) → candidate pairs → EXACT Jaccard
+      (common-shingle count join) → filter ≥ 1 − max_distance.
+
+    Banding is AND-amplification: a pair must agree on EVERY min-hash
+    inside some band, so a band collides with probability jaccardʳ —
+    quadratically fewer false candidates than single-hash buckets
+    (pyspark.ml's approxSimilarityJoin), which measured ~10× slower on
+    a shared-vocabulary corpus where single-hash buckets all collide.
+    Returns (id_a, id_b, jaccard_dist) with jaccard_dist = 1 − exact J.
+    """
+    n_bands = num_hashes // rows_per_band
+    coeffs = minhash_coefficients(num_hashes, seed)
+
+    # (doc_id, x) distinct shingle hashes — the shared Exchange that
+    # counts, signatures and the verification join all reuse.
+    sh = (
+        exploded_shingles(docs, text_col, n)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint").alias("x"),
+        )
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        *[
+                            F.col(f"m{band * rows_per_band + j}").alias(f"k{j}")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.*")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    band_cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for j in range(rows_per_band):
+        band_cond = band_cond & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
+    cand = (
+        a.join(b, band_cond)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact Jaccard, computed only for candidates
+    sa = sh.select(F.col("doc_id").alias("id_a"), "x")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "x")
+    common = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "x"]).groupBy("id_a", "id_b").agg(
+            F.count("*").alias("n_common")
+        )
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .filter(jac >= 1.0 - max_distance)
+        .select("id_a", "id_b", F.round(1.0 - jac, 6).alias("jaccard_dist"))
+    )
+
+
+def minhash_lsh_pairs_ml(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    max_distance: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """pyspark.ml variant (MinHashLSH.approxSimilarityJoin) kept for API
+    parity. Prefer :func:`minhash_lsh_pairs`: single-hash OR-buckets
+    degrade to near-quadratic candidates on low-diversity corpora."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    with_shingles = docs.select("doc_id", shingles(F.col(text_col), n).alias("sh"))
+    shingled = with_shingles(docs, text_col, n)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(with_shingles)
+    feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, max_distance, distCol="jaccard_dist")

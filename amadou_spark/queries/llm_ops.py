@@ -159,15 +159,81 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 2, max_distance: float = 0.5) -> str:
+    from amadou_spark.llm.dedup import MINHASH_P, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    mins = ",\n                   ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {keys} FROM sigs".format(
+            band=band,
+            keys=", ".join(
+                f"m{band * rows_per_band + j} AS k{j}" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(n_bands)
+    )
+    band_eq = " AND ".join(f"a.k{j} = b.k{j}" for j in range(rows_per_band))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS x
+            FROM sh0
+        ), counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id,
+                   {mins}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+        ), common AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.x = sa.x
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(1.0 - CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6)
+                 AS jaccard_dist
+        FROM common
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= {1.0 - max_distance}
+        ORDER BY id_a, id_b
+    """
+
+
 @query(
     "llm_dedup_minhash",
-    oracle=None,  # LSH banding is not SQL-expressible; tests pin recall
-    description="MinHash-LSH candidate pairs (pyspark.ml MinHashLSH, seeded): "
-    "shingles → binary HashingTF → 64 minhash tables → approxSimilarityJoin",
+    oracle=_minhash_oracle(),
+    description="banded MinHash LSH near-dup pairs, FULLY oracle-checked: "
+    "portable md5 shingle hashes → 16 affine min-hash signatures → 8 bands "
+    "of 2 (AND-amplification: band collision ~ J², quadratically fewer false "
+    "candidates than single-hash buckets) → exact Jaccard on candidates",
 )
 def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    return minhash_lsh_pairs(t["documents"], max_distance=0.9).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(
+        t["documents"], num_hashes=16, rows_per_band=2, max_distance=0.5
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------- similarity
