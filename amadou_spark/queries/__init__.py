@@ -69,6 +69,6 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from amadou_spark.queries import tier_a, tier_b, llm_ops  # noqa: F401
+    from amadou_spark.queries import extensions, llm_ops, tier_a, tier_b  # noqa: F401
 
     _LOADED = True
