@@ -93,3 +93,93 @@ def q32_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("n_nationkey", ["nationkey", "regionkey"], "attr", "val")
         .orderBy("n_nationkey", "attr")
     )
+
+
+# ---------------------------------------------------------------- windows II
+
+@query(
+    "q33_range_frame",
+    oracle="""
+        SELECT o_orderkey,
+               count(*) OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                 AS n_trailing_30d
+        FROM orders ORDER BY o_orderkey
+    """,
+    description="RANGE window frame: trailing-30-day order count per customer "
+    "(frame over epoch seconds — value-based, not row-based)",
+)
+def q33_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, 0)
+    )
+    return (
+        t["orders"]
+        .select("o_orderkey", F.count("*").over(w).alias("n_trailing_30d"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q33_distribution_windows",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    description="distribution window functions: percent_rank / cume_dist / "
+    "ntile over a total per-customer ordering",
+)
+def q33_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q34_stat_aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_extendedprice), 2) AS std_price,
+               ROUND(var_samp(l_extendedprice), 2) AS var_price,
+               ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+               ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="statistical aggregates: stddev/variance/corr/covar (sample "
+    "forms; both engines use numerically-stable single-pass formulations)",
+)
+def q34_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_pq"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -423,3 +423,79 @@ def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         frames.groupBy("doc_id").agg(F.count("*").alias("n_frames")).orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- flagship pipeline
+
+@query(
+    "llm_pipeline_training_data",
+    oracle="""
+        WITH kept AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        ), en AS (
+            SELECT d.* FROM documents d JOIN kept USING (doc_id) WHERE lang = 'en'
+        ), q AS (
+            SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+            FROM en
+            WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        FROM q GROUP BY source ORDER BY source
+    """,
+    description="flagship composite: the canonical training-data curation "
+    "pipeline as a Stage graph — language filter → exact dedup (keep min id) "
+    "→ token-length quality gate → per-source corpus stats. Demonstrates the "
+    "Stage algebra carrying real Spark transformations end-to-end",
+)
+def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.dates import DateInterval
+    from amadou_spark.monitoring.messaging import PrintMessagingSystem
+    from amadou_spark.stage import Context, source as stage_source, transform
+    from datetime import date as _date
+
+    t = register_tables(spark, sf_dir)
+
+    @stage_source("ReadDocuments")
+    def read_docs(ctx):
+        return t["documents"]
+
+    @transform("LanguageFilter")
+    def lang_filter(ctx):
+        return ctx.value.filter(F.col("lang") == "en")
+
+    @transform("ExactDedup")
+    def dedup(ctx):
+        keep = dedup_exact(ctx.value).select(F.col("keep_id").alias("doc_id"))
+        return ctx.value.join(keep, "doc_id", "left_semi")
+
+    @transform("QualityGate")
+    def quality(ctx):
+        n_toks = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+        return ctx.value.withColumn("n_toks", n_toks).filter(
+            F.col("n_toks").between(10, 1000)
+        )
+
+    @transform("CorpusStats")
+    def stats(ctx):
+        return (
+            ctx.value.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+                F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            )
+            .orderBy("source")
+        )
+
+    pipeline = read_docs >> lang_filter >> dedup >> quality >> stats
+    ctx = Context(
+        spark=spark,
+        date=DateInterval.day(_date(2026, 1, 1)),
+        value=None,
+        job_name="training_data_pipeline",
+        messaging=PrintMessagingSystem(quiet=True),
+    )
+    return pipeline(ctx)

@@ -1,0 +1,81 @@
+"""Scale posture helpers (SURVEY §7 M7): skew-aware joins, bucketing.
+
+AQE (`spark.sql.adaptive.skewJoin`) is the first line of defense and is
+on by default in our sessions. These helpers cover what AQE can't:
+- salting for aggregations and for joins where one side must be
+  replicated (AQE skew-join only splits sort-merge partitions);
+- bucketed table writes so repeated joins on the same key skip the
+  shuffle entirely (the 100 TB answer for fact-fact joins that run
+  daily: pay the shuffle once at write time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed` has hot keys: append a random salt to
+    the skewed side's key and replicate `other` across all salt values,
+    so one hot key spreads over ``n_salts`` shuffle partitions instead
+    of one straggler task.
+
+    Replication is an explode of a literal range — `other`'s scan is
+    NOT repeated n times; rows fan out after the scan. Cost: `other`'s
+    shuffle volume × n_salts, the price of unsticking the hot key."""
+    salted_l = skewed.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salted_r = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_l.join(salted_r, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: group on
+    (keys + salt) first (spreads the hot key), then re-aggregate the
+    partials. Only works for decomposable aggregates — the caller
+    passes (partial_agg, final_agg) pairs as
+    [(F.sum, F.sum), (F.count, F.sum), ...] applied to one column each:
+    aggs = [(col, partial_fn, final_fn, out_name), ...]."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[pf(c).alias(f"_p_{name}") for c, pf, _, name in aggs]
+    )
+    final = partial.groupBy(*keys).agg(
+        *[ff(f"_p_{name}").alias(name) for _, _, ff, name in aggs]
+    )
+    return final
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) by the join key:
+    later equi-joins/aggregations on ``bucket_col`` between tables
+    bucketed the same way need NO shuffle (and no sort, if sorted).
+    Buckets land in the session catalog (saveAsTable — bucketing
+    metadata lives in the metastore, not plain files)."""
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
