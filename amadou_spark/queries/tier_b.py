@@ -369,7 +369,11 @@ def b07_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b07_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
-    doubled = stream.union(stream)
+    # duplicate every row via explode (single source read — a self-union
+    # would run the FileStreamSource twice per microbatch)
+    doubled = stream.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop(
+        "_copy"
+    )
     deduped = stream_dedup_by_key(doubled, "event_id")
     counts = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
     return run_stream_to_table(counts, mode="complete").orderBy("event_type")

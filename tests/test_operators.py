@@ -47,3 +47,26 @@ def test_asof_join_semantics(spark):
     assert got[(1, 20.0)] == "b"   # latest preceding
     assert got[(1, 5.0)] is None   # nothing precedes
     assert got[(2, 10.0)] is None  # key with no right rows
+
+
+def test_sessionize_bounds_equal_session_window(spark, sf_dir):
+    from amadou_spark.operators.sessionize import session_bounds
+    from amadou_spark.streaming.windows import session_windows_batch
+
+    events = load_table(spark, sf_dir, "events")
+    via_lag = session_bounds(events, gap_seconds=1800).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    via_window = session_windows_batch(events, gap="30 minutes")
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(via_lag) == key(via_window)
+
+
+def test_sessionize_ids_are_dense_and_ordered(spark, sf_dir):
+    from amadou_spark.operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events").filter("user_id = 7")
+    rows = sessionize(events, gap_seconds=1800).orderBy("ts").collect()
+    ids = [r.session_id for r in rows]
+    assert ids[0] == 1
+    assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))  # dense, monotone
