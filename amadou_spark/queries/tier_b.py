@@ -377,3 +377,38 @@ def b07_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup_by_key(doubled, "event_id")
     counts = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
     return run_stream_to_table(counts, mode="complete").orderBy("event_type")
+
+
+@query(
+    "b01_array_higher_order",
+    oracle="""
+        SELECT vec_id,
+               ROUND(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                                 (a, b) -> a + b), 6) AS sumsq,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+               ROUND(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6)
+                 AS max_abs
+        FROM embeddings ORDER BY vec_id
+    """,
+    description="higher-order array functions over embeddings: transform / "
+    "filter / aggregate (sequential double fold — reproducible cross-engine)",
+)
+def b01_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    vec = F.col("embedding")
+    dbl = F.transform(vec, lambda x: x.cast("double"))
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+                ),
+                6,
+            ).alias("sumsq"),
+            F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+            F.round(F.array_max(F.transform(dbl, lambda x: F.abs(x))), 6).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )
