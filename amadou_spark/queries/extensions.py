@@ -183,3 +183,139 @@ def q34_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------- functions II
+
+@query(
+    "q24b_string_functions2",
+    oracle="""
+        SELECT p_partkey,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+               rpad(p_brand, 12, '.') AS brand_pad,
+               reverse(p_name) AS rev_name,
+               repeat(p_brand, 2) AS brand2,
+               split_part(p_name, ' ', 2) AS second_word,
+               CAST(instr(p_name, 'a') AS INT) AS a_pos,
+               translate(p_type, 'AEO', 'aeo') AS translated,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS re_word2,
+               starts_with(p_type, 'ECO') AS is_eco,
+               contains(p_name, 'ring') AS has_ring
+        FROM part ORDER BY p_partkey
+    """,
+    description="string functions II: pad/reverse/repeat/split_part/instr/"
+    "translate/regexp group extraction/prefix/contains",
+)
+def q24b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+            F.rpad("p_brand", 12, ".").alias("brand_pad"),
+            F.reverse("p_name").alias("rev_name"),
+            F.repeat("p_brand", 2).alias("brand2"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+            F.instr("p_name", "a").cast("int").alias("a_pos"),
+            F.translate("p_type", "AEO", "aeo").alias("translated"),
+            F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("re_word2"),
+            F.startswith("p_type", F.lit("ECO")).alias("is_eco"),
+            F.contains("p_name", F.lit("ring")).alias("has_ring"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q26b_date_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+                 AS days_to_y2k,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        FROM orders ORDER BY o_orderkey
+    """,
+    description="date arithmetic: date_add/add_months/last_day/datediff/"
+    "dayofweek [R: DuckDB dow is 0-based Sunday, Spark 1-based — normalized]",
+)
+def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    odate = F.col("o_orderdate").cast("date")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.date_add(odate, 30).alias("plus_30d"),
+            F.add_months(odate, 3).alias("plus_3m"),
+            F.last_day(odate).alias("month_end"),
+            F.datediff(F.lit("2000-01-01").cast("date"), odate).cast("int").alias(
+                "days_to_y2k"
+            ),
+            F.dayofweek(odate).cast("int").alias("dow"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q34b_median_value_windows",
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(median(o_totalprice), 2) AS med_price,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="exact median aggregate (interpolated) + min/max",
+)
+def q34b_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("med_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q33b_value_windows",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(first_value(o_totalprice) OVER w, 2) AS cheapest,
+               ROUND(last_value(o_totalprice) OVER w, 2) AS priciest,
+               ROUND(nth_value(o_totalprice, 2) OVER w, 2) AS second_cheapest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey
+    """,
+    description="value window functions: first/last/nth over an unbounded frame",
+)
+def q33b_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+            F.round(F.last("o_totalprice").over(w), 2).alias("priciest"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_cheapest"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -412,3 +412,21 @@ def b01_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "b07_stateful_counts",
+    oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    description="custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running counts in explicit GroupState; the parquet replay is a "
+    "single microbatch, so the update-mode output equals the batch aggregate",
+)
+def b07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.streaming.windows import stateful_user_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(stateful_user_counts(stream), mode="update")
+    return out.orderBy("user_id")

@@ -128,3 +128,31 @@ def stream_dedup_by_key(events: DataFrame, *keys: str, watermark: str = "1 hour"
     if not events.isStreaming:
         return events.dropDuplicates(list(keys))
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def stateful_user_counts(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event counts held in explicit GroupState.
+
+    This is the engine's 'arbitrary stateful processing' surface — the
+    escape hatch when windows/dedup built-ins can't express the state
+    machine. State is (n BIGINT) per user: O(|users|), independent of
+    stream length; with real unbounded input you would add a TTL via
+    GroupStateTimeout instead of NoTimeout."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_per_user(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        count_per_user,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
