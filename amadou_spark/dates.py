@@ -116,7 +116,24 @@ class DateInterval:
     @classmethod
     def parse(cls, text: str) -> "DateInterval":
         """Inverse of str(): '2016-08-04' → Day, '2009-W01' → ISO Week,
-        '2014-05' → Month, '2014-Q2' → Quarter, '2014' → Year."""
+        '2014-05' → Month, '2014-Q2' → Quarter, '2014' → Year.
+
+        The reference pins these semantics with executable doctests
+        (sbt-doctest on DateInterval.scala); same layer here:
+
+        >>> str(DateInterval.parse("2014-05"))
+        '2014-05'
+        >>> DateInterval.parse("2014-05").start.isoformat()
+        '2014-05-01'
+        >>> DateInterval.parse("2014-05").end.isoformat()  # half-open
+        '2014-06-01'
+        >>> DateInterval.parse("2009-W01").start.isoformat()  # ISO week
+        '2008-12-29'
+        >>> str(DateInterval.parse("2014-Q4").next())
+        '2015-Q1'
+        >>> str(DateInterval.parse("2016-08-04") - 1)
+        '2016-08-03'
+        """
         for pattern, unit in _PARSE_PATTERNS:
             m = pattern.match(text)
             if not m:

@@ -176,3 +176,92 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted file index):
+    k-means coarse quantizer → every vector assigned to its nearest
+    centroid list → each query probes only its ``n_probe`` nearest
+    lists → exact cosine re-rank inside the probed lists.
+
+    The scale shape: the corpus is scanned once to build assignments
+    (in production the assignment is persisted, bucketed by list id);
+    a query then touches n_probe/n_lists of the data — recall is
+    tunable with n_probe, and tests pin it against brute force.
+    KMeans is seeded → the index, and therefore the result set, is
+    deterministic.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "features"
+        ),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).select("vid", "vec", "list_id")
+
+    # centroid table is tiny: broadcast as a literal-free DataFrame
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+
+    queries = assigned.select(F.col("vid").alias("query_id"), F.col("vec").alias("qvec"))
+    if query_ids is not None:
+        queries = queries.filter(F.col("query_id").isin(query_ids))
+    # rank centroid lists per query, keep n_probe nearest (by cosine)
+    q_lists = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qvec",
+            "list_id",
+            (
+                _dot(F.col("qvec"), F.col("centroid"))
+                / (_norm(F.col("qvec")) * _norm(F.col("centroid")))
+            ).alias("c_sim"),
+        )
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), "list_id")
+            ),
+        )
+        .filter(F.col("c_rank") <= n_probe)
+        .select("query_id", "qvec", "list_id")
+    )
+    # probe: equi-join on list_id — only n_probe lists of the corpus per query
+    scored = (
+        q_lists.join(assigned.select("vid", "vec", "list_id"), "list_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qvec"), F.col("vec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("vec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

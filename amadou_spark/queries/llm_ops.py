@@ -499,3 +499,18 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         messaging=PrintMessagingSystem(quiet=True),
     )
     return pipeline(ctx)
+
+
+@query(
+    "llm_similarity_ivf",
+    oracle=None,  # kmeans index — recall pinned by tests vs brute force
+    description="ANN via IVF: seeded k-means coarse quantizer, n_probe nearest "
+    "lists per query, exact cosine re-rank inside probed lists — the classic "
+    "inverted-file index shape (corpus bucketed by list id; a query touches "
+    "n_probe/n_lists of the data)",
+)
+def llm_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.similarity import cosine_topk_ivf
+
+    t = register_tables(spark, sf_dir)
+    return cosine_topk_ivf(t["embeddings"], query_ids=list(range(20)), k=5)

@@ -135,3 +135,15 @@ class TestApproxAggregates:
             F.expr("percentile(value, 0.5)").alias("exact"),
         ).collect()[0]
         assert abs(row.p50 - row.exact) <= abs(row.exact) * 0.05 + 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from amadou_spark.llm.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+    from amadou_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(emb, query_ids=qids, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in cosine_topk_ivf(emb, query_ids=qids, k=5, n_lists=16, n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
