@@ -245,10 +245,14 @@ def cosine_topk_ivf(
         .filter(F.col("c_rank") <= n_probe)
         .select("query_id", "qvec", "list_id")
     )
-    # probe: equi-join on list_id — only n_probe lists of the corpus per query
+    # probe: equi-join on list_id — only n_probe lists of the corpus per
+    # query. Explicit repartition before scoring: candidate rows are tiny
+    # in bytes but heavy in per-row compute, and AQE's byte-based
+    # coalescing would otherwise squeeze them onto one task.
     scored = (
         q_lists.join(assigned.select("vid", "vec", "list_id"), "list_id")
         .filter(F.col("query_id") != F.col("vid"))
+        .repartition(64, "query_id")
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),

@@ -514,3 +514,56 @@ def llm_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir)
     return cosine_topk_ivf(t["embeddings"], query_ids=list(range(20)), k=5)
+
+
+@query(
+    "llm_dedup_embedding_cosine",
+    oracle="""
+        SELECT id_a, id_b, cosine
+        FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        ORDER BY cosine DESC, id_a, id_b
+        LIMIT 100
+    """,
+    description="embedding-cosine near-dup: label-BLOCKED exact pair scoring "
+    "(blocking on the cluster label turns the quadratic all-pairs scan into "
+    "per-block equi-joins — the classic dedup blocking strategy; swap the "
+    "label for LSH/IVF bucket ids when no natural block key exists), top-100 "
+    "most-similar pairs",
+)
+def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.similarity import _dot, _norm
+
+    t = register_tables(spark, sf_dir)
+    a = t["embeddings"].select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = t["embeddings"].select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    # explicit repartition before scoring: the pair rows are tiny in
+    # BYTES but heavy in per-row compute (64-dim fold), so AQE's
+    # byte-based coalescing would squeeze them onto 1-2 tasks; an
+    # explicit numPartitions is exempt from AQE coalescing
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(64, "id_a")
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+        .limit(100)
+    )
