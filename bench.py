@@ -32,15 +32,30 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     REGISTRY["q01_scan_projection"].fn(spark, sf_dir).count()
 
+    def cleanup() -> None:
+        """Release leftovers so one query's debris (streaming memory-sink
+        tables, cached relations) can't degrade the next measurement."""
+        for table in spark.catalog.listTables():
+            if table.name.startswith("amadou_stream_"):
+                spark.catalog.dropTempView(table.name)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
-    total = 0.0
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
         started = time.perf_counter()
         fn(spark, sf_dir).count()
         elapsed = time.perf_counter() - started
         timings[name] = round(elapsed, 3)
-        total += elapsed
+        cleanup()
+
+    # headline metric = the declared benchmark set (BASELINE.md): SURVEY
+    # §2.2 Tier A (Q01-Q30). Tier B / LLM / extension timings are still
+    # reported per-query and summed in value_all.
+    tier_a = {k: v for k, v in timings.items() if k.startswith("q") and k[1:3].isdigit() and int(k[1:3]) <= 30}
+    total = sum(tier_a.values())
+    total_all = sum(timings.values())
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -58,12 +73,15 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "suite_wall_clock",
+                "metric": "tier_a_suite_wall_clock",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "conf": conf,
+                "value_all": round(total_all, 3),
+                "n_queries": len(timings),
+                "n_tier_a": len(tier_a),
             }
         )
     )
