@@ -1,0 +1,79 @@
+"""ManagedIO-equivalent close-semantics matrix (reference:
+ManagedIOSpec.scala:46-117), Slack notifier payload/error behavior
+(Slack.scala:40-67), and metrics snapshot shape."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from amadou_spark.managed import Managed, managed
+from amadou_spark.monitoring.slack import Slack, SlackError
+
+
+class Resource:
+    def __init__(self, log, name):
+        self.log = log
+        self.name = name
+
+    def close(self):
+        self.log.append(f"close:{self.name}")
+
+
+class TestManaged:
+    def test_closes_on_success(self):
+        log = []
+        with managed(Resource(log, "a")) as r:
+            log.append(f"use:{r.name}")
+        assert log == ["use:a", "close:a"]
+
+    def test_closes_on_error(self):
+        log = []
+        with pytest.raises(ValueError):
+            with managed(Resource(log, "a")):
+                raise ValueError("boom")
+        assert log == ["close:a"]
+
+    def test_use_maps_and_closes(self):
+        log = []
+        m = Managed.of(lambda: Resource(log, "a")).map(lambda r: (r, "mapped"))
+        result = m.use(lambda pair: pair[1])
+        assert result == "mapped"
+        assert log == ["close:a"]
+
+    def test_flat_map_closes_both_in_reverse(self):
+        log = []
+        m = Managed.of(lambda: Resource(log, "outer")).flat_map(
+            lambda o: Managed.of(lambda: Resource(log, "inner"))
+        )
+        m.use(lambda r: log.append(f"use:{r.name}"))
+        assert log == ["use:inner", "close:inner", "close:outer"]
+
+
+class TestSlack:
+    def test_posts_json_payload(self):
+        sent = {}
+
+        def transport(url, payload):
+            sent["url"] = url
+            sent["body"] = json.loads(payload)
+            return 200
+
+        Slack("https://hooks.example/x", "#jobs", transport=transport).post("done")
+        assert sent["url"] == "https://hooks.example/x"
+        assert sent["body"]["channel"] == "#jobs"
+        assert sent["body"]["text"] == "done"
+
+    def test_raises_on_non_200(self):
+        with pytest.raises(SlackError):
+            Slack("u", "#c", transport=lambda u, p: 500).post("x")
+
+
+def test_metrics_snapshot_shape(spark):
+    from amadou_spark.metrics import MetricsCollector
+
+    spark.range(10).count()  # ensure at least one job exists
+    snap = MetricsCollector(spark).snapshot()
+    assert {"jobs_total", "jobs_active", "stages_active", "default_parallelism"} <= set(snap)
+    assert snap["default_parallelism"] > 0
