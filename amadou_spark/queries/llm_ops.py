@@ -430,10 +430,15 @@ def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_pipeline_training_data",
     oracle="""
-        WITH kept AS (
-            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        WITH en0 AS (
+            SELECT * FROM documents WHERE lang = 'en'
+        ), kept AS (
+            -- dedup INSIDE the language-filtered subset: stage order is
+            -- part of the declared semantics (a doc whose duplicate
+            -- exists in another language must survive)
+            SELECT MIN(doc_id) AS doc_id FROM en0 GROUP BY text
         ), en AS (
-            SELECT d.* FROM documents d JOIN kept USING (doc_id) WHERE lang = 'en'
+            SELECT en0.* FROM en0 JOIN kept USING (doc_id)
         ), q AS (
             SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
             FROM en
