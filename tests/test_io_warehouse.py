@@ -127,3 +127,13 @@ class TestWarehouse:
         wh.load_partition(spark.createDataFrame([(1,)], "id LONG"), t, d)
         assert wh.has_data_for_date(t, d)
         assert not wh.has_data_for_date(t, d.next())
+
+
+def test_orc_and_generic_save_roundtrip(spark, workdir):
+    from amadou_spark.io import load, read_orc, save, write_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, s STRING")
+    write_orc(df, f"{workdir}/o")
+    assert read_orc(spark, f"{workdir}/o").count() == 2
+    save(df, f"{workdir}/g", fmt="json")
+    assert load(spark, f"{workdir}/g", fmt="json").count() == 2
