@@ -15,6 +15,10 @@ from amadou_spark.contracts import TABLE_NAMES, TPCH_TABLES
 
 # session-id → sf_dir whose tables are currently registered as views
 _CURRENT: dict[int, str] = {}
+# (session-id, sf_dir) → loaded DataFrames. DataFrames are immutable
+# plan objects: reusing them skips a parquet footer/schema read per
+# table per query (~100-300 ms × 10 tables otherwise).
+_TABLES: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -56,12 +60,13 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Idempotent while sf_dir is unchanged; switching sf_dir re-points the
     views so spark.sql-path queries always read the requested scale."""
     sf_dir = sf_dir.rstrip("/")
-    refresh = _CURRENT.get(id(spark)) != sf_dir
-    tables = {}
-    for name in TABLE_NAMES:
-        df = load_table(spark, sf_dir, name)
-        tables[name] = df
-        if refresh:
+    key = (id(spark), sf_dir)
+    tables = _TABLES.get(key)
+    if tables is None:
+        tables = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+        _TABLES[key] = tables
+    if _CURRENT.get(id(spark)) != sf_dir:
+        for name, df in tables.items():
             df.createOrReplaceTempView(name)
-    _CURRENT[id(spark)] = sf_dir
+        _CURRENT[id(spark)] = sf_dir
     return tables
