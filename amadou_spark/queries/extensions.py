@@ -38,7 +38,11 @@ def q31_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         payload_cols=[],
     )
-    return joined.select("event_id", "user_id", "matched_o_orderdate").orderBy("event_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("matched_o_orderdate").cast("timestamp").alias("matched_o_orderdate"),
+    ).orderBy("event_id")
 
 
 _PIVOT_STATUSES = ["O", "F", "P"]
@@ -318,4 +322,99 @@ def q33b_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_cheapest"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q19b_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+    """,
+    description="pagination: LIMIT + OFFSET over a total order (rows 21-30 "
+    "by price) — OFFSET still requires ordering the first offset+limit rows, "
+    "so deep pagination at scale should become keyset pagination (WHERE "
+    "price < last_seen)",
+)
+def q19b_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(20)
+        .limit(10)
+    )
+
+
+@query(
+    "q33c_bounded_rows_frame",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(AVG(l_quantity) OVER w, 4) AS mov_avg,
+               ROUND(SUM(l_quantity) OVER w, 2) AS mov_sum,
+               count(*) OVER w AS frame_n
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
+                     l_linenumber ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    description="bounded ROWS frame (3 preceding .. 1 following): moving "
+    "sum/average with explicit frame edges. Aggregates an INTEGRAL-valued "
+    "double (l_quantity) — frame sums are then exact, so the result is "
+    "independent of the engines' differing frame-aggregation association "
+    "(Spark per-row recompute vs DuckDB segment tree)",
+)
+def q33c_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 1)
+    )
+    return (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.avg("l_quantity").over(w), 4).alias("mov_avg"),
+            F.round(F.sum("l_quantity").over(w), 2).alias("mov_sum"),
+            F.count("*").over(w).alias("frame_n"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q35_exists_filtered",
+    oracle="""
+        SELECT o_orderkey FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_quantity > 45
+              AND l_returnflag = 'R'
+        )
+        ORDER BY o_orderkey
+    """,
+    description="correlated EXISTS with extra predicates: Catalyst pushes the "
+    "filters below the left-semi join, so only qualifying lineitems shuffle",
+)
+def q35_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_quantity > 45
+              AND l_returnflag = 'R'
+        )
+        ORDER BY o_orderkey
+        """
     )

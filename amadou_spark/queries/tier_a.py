@@ -322,8 +322,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.min("l_shipdate").alias("min_ship"),
-            F.max("l_shipdate").alias("max_ship"),
+            # cast NTZ → session-tz timestamp: values are identical under
+            # the UTC session, but the column type then matches the
+            # oracle's plain TIMESTAMP for strict schema comparison
+            F.min("l_shipdate").cast("timestamp").alias("min_ship"),
+            F.max("l_shipdate").cast("timestamp").alias("max_ship"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
