@@ -115,3 +115,36 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.expr(f"substring(payload, 1 + frame_idx * {step}, 8)").alias("frame_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, factor: int = 4) -> DataFrame:
+    """STUB resize: a real implementation decodes, resizes (e.g.
+    PIL.Image.resize), and re-encodes. Deterministic fake: keep every
+    ``factor``-th byte of the payload — preserving the real contract
+    (binary in → smaller binary out + size metadata) and the real
+    batching (mapInPandas, Arrow)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            resized = [p[::factor] for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes_in": [len(p) for p in payloads],
+                    "n_bytes_out": [len(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

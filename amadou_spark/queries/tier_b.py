@@ -430,3 +430,30 @@ def b07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = run_stream_to_table(stateful_user_counts(stream), mode="update")
     return out.orderBy("user_id")
+
+
+@query(
+    "b04_pandas_udaf",
+    oracle="""
+        SELECT event_type,
+               ROUND(SUM(value * (event_id % 10 + 1)) / SUM(event_id % 10 + 1), 2)
+                 AS weighted_mean
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="pandas UDAF (grouped-aggregate pandas UDF returning one "
+    "scalar per group): weighted mean; oracle recomputes the same ratio",
+)
+def b04_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+
+    @F.pandas_udf(T.DoubleType())
+    def wmean(value: pd.Series, weight: pd.Series) -> float:
+        return float((value * weight).sum() / weight.sum())
+
+    return (
+        t["events"]
+        .withColumn("w", (F.col("event_id") % 10 + 1).cast("double"))
+        .groupBy("event_type")
+        .agg(F.round(wmean("value", "w"), 2).alias("weighted_mean"))
+        .orderBy("event_type")
+    )

@@ -147,3 +147,14 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in cosine_topk_ivf(emb, query_ids=qids, k=5, n_lists=16, n_probe=6).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_resize_stub_contract(spark, sf_dir):
+    from amadou_spark.llm.multimodal import as_media_table, resize_stub
+
+    media = as_media_table(load_table(spark, sf_dir, "documents").limit(10))
+    out = resize_stub(media, factor=4).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_bytes_out == (r.n_bytes_in + 3) // 4
+        assert len(bytes(r.payload)) == r.n_bytes_out
