@@ -358,14 +358,18 @@ def q19b_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER w AS frame_n
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
-                     l_linenumber ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)
+                     l_linenumber, l_quantity, l_extendedprice
+                     ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)
         ORDER BY l_orderkey, l_linenumber
     """,
     description="bounded ROWS frame (3 preceding .. 1 following): moving "
     "sum/average with explicit frame edges. Aggregates an INTEGRAL-valued "
     "double (l_quantity) — frame sums are then exact, so the result is "
     "independent of the engines' differing frame-aggregation association "
-    "(Spark per-row recompute vs DuckDB segment tree)",
+    "(Spark per-row recompute vs DuckDB segment tree). The window order "
+    "tie-breaks through the aggregated VALUES too: sf0.1 contains duplicate "
+    "(orderkey, linenumber) rows, and rows that remain tied after value "
+    "tie-breaks are interchangeable without changing any frame sum",
 )
 def q33c_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -373,7 +377,7 @@ def q33c_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .rowsBetween(-3, 1)
     )
     return (
