@@ -422,3 +422,37 @@ def q35_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@query(
+    "q36_profile_nulls",
+    oracle="""
+        SELECT 'text' AS "column", count(*) AS n_rows,
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               ROUND(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_rate
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               ROUND(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+               CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               ROUND(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        FROM documents
+        ORDER BY "column"
+    """,
+    description="data profiling: per-column null statistics in ONE scan "
+    "(single aggregate row exploded to tidy form — never N scans for N "
+    "columns); the full operator (operators/profile.py) adds approx-distinct",
+)
+def q36_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.operators.profile import profile_columns
+
+    t = register_tables(spark, sf_dir)
+    return (
+        profile_columns(t["documents"], ["text", "lang", "source"])
+        .select("column", "n_rows", "n_nulls", "null_rate")
+        .orderBy("column")
+    )

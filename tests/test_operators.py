@@ -70,3 +70,69 @@ def test_sessionize_ids_are_dense_and_ordered(spark, sf_dir):
     ids = [r.session_id for r in rows]
     assert ids[0] == 1
     assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))  # dense, monotone
+
+
+class TestProfile:
+    def test_profile_single_pass_stats(self, spark):
+        from amadou_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")], "id LONG, s STRING"
+        )
+        stats = {r.column: r for r in profile_columns(df).collect()}
+        assert stats["id"].n_rows == 4 and stats["id"].n_nulls == 0
+        assert stats["s"].n_nulls == 1 and stats["s"].null_rate == 0.25
+        assert stats["s"].approx_distinct == 2  # exact at this size
+
+    def test_profile_documents(self, spark, sf_dir):
+        from amadou_spark.operators.profile import profile_columns
+        from amadou_spark.catalog import load_table
+
+        stats = {r.column: r for r in profile_columns(load_table(spark, sf_dir, "documents")).collect()}
+        assert stats["doc_id"].n_nulls == 0
+        assert stats["lang"].approx_distinct >= 4
+
+
+class TestScd2:
+    def _current(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alice", "NYC", "2020-01-01", "9999-12-31", True),
+                (2, "bob", "SF", "2020-01-01", "9999-12-31", True),
+                (2, "bob", "LA", "2019-01-01", "2020-01-01", False),  # history
+                (3, "carol", "CHI", "2020-01-01", "9999-12-31", True),
+            ],
+            "k INT, name STRING, city STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+        ).selectExpr("k", "name", "city", "CAST(valid_from AS DATE) valid_from",
+                     "CAST(valid_to AS DATE) valid_to", "is_current")
+
+    def test_scd2_merge_semantics(self, spark):
+        from amadou_spark.operators.scd import scd2_merge
+
+        updates = spark.createDataFrame(
+            [(1, "alice", "BOS"),   # changed city -> close + new version
+             (3, "carol", "CHI"),   # unchanged -> untouched
+             (4, "dave", "SEA")],   # brand new key
+            "k INT, name STRING, city STRING",
+        )
+        out = scd2_merge(self._current(spark), updates, "k", ["name", "city"], "2024-06-01")
+        rows = {(r.k, str(r.valid_from), r.is_current): r for r in out.collect()}
+
+        assert len(rows) == 6  # 4 original (1 closed-out) + 2 new versions
+        closed = rows[(1, "2020-01-01", False)]
+        assert str(closed.valid_to) == "2024-06-01"
+        assert rows[(1, "2024-06-01", True)].city == "BOS"
+        assert rows[(3, "2020-01-01", True)].city == "CHI"  # untouched
+        assert rows[(4, "2024-06-01", True)].city == "SEA"
+        assert rows[(2, "2019-01-01", False)].city == "LA"  # history preserved
+        # bob got no update row -> stays current and open
+        assert rows[(2, "2020-01-01", True)].city == "SF"
+
+    def test_scd2_merge_is_idempotent(self, spark):
+        from amadou_spark.operators.scd import scd2_merge
+
+        updates = spark.createDataFrame([(1, "alice", "BOS")], "k INT, name STRING, city STRING")
+        once = scd2_merge(self._current(spark), updates, "k", ["name", "city"], "2024-06-01")
+        twice = scd2_merge(once, updates, "k", ["name", "city"], "2024-07-01")
+        # second apply of the SAME values changes nothing (no new version)
+        assert once.count() == twice.count()
