@@ -457,3 +457,28 @@ def b04_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(wmean("value", "w"), 2).alias("weighted_mean"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "b08_stream_static_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    description="stream-static join: the events STREAM enriched against the "
+    "static customer dimension (broadcast into every microbatch — the "
+    "standard streaming enrichment shape), then aggregated per segment",
+)
+def b08_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.catalog import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = stream.join(
+        F.broadcast(customer), stream["user_id"] == customer["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_stream_to_table(agg, mode="complete").orderBy("c_mktsegment")

@@ -62,3 +62,63 @@ def test_stream_dedup_drops_in_watermark_duplicates(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     assert _sorted_rows(counts, "event_type") == _sorted_rows(batch, "event_type")
+
+
+def test_watermark_append_mode_semantics(spark, tmp_path):
+    """Append-mode watermark semantics end-to-end across two real
+    microbatches (maxFilesPerTrigger=1). Asserts Spark's DOCUMENTED
+    guarantees: on-time windows are finalized exactly once with correct
+    counts once the watermark passes them; no window is ever emitted
+    twice (a late row can no longer merge into a finalized window — the
+    engine MAY still admit it as new state, which is explicitly allowed:
+    the watermark bounds state, it does not promise to drop late data);
+    windows still ahead of the watermark are not emitted."""
+    import time as _time
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "late_events")
+    base = "2024-01-01 "
+    batch_a = spark.createDataFrame(
+        [(1, base + "10:00:00"), (2, base + "10:05:00"), (3, base + "10:20:00")],
+        "event_id LONG, ts_s STRING",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch_b = spark.createDataFrame(
+        [(4, base + "08:00:00"),   # LATE: far behind the watermark
+         (5, base + "11:00:00")],  # on-time; advances the watermark
+        "event_id LONG, ts_s STRING",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch_a.coalesce(1).write.parquet(d)            # file 1
+    _time.sleep(1.1)                                 # distinct mod-times
+    batch_b.coalesce(1).write.mode("append").parquet(d)  # file 2
+
+    stream = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("late_test").collect()
+    emitted = {(r.w.start.strftime("%H:%M"), r.n) for r in rows}
+    # on-time windows finalized exactly once, with the late 08:00 row
+    # NOT merged into them, once the 11:00 event advanced the watermark
+    assert ("10:00", 2) in emitted
+    assert ("10:20", 1) in emitted
+    # append-mode invariant: every window emitted at most once
+    starts = [r.w.start for r in rows]
+    assert len(starts) == len(set(starts))
+    # 11:00 is still ahead of the watermark -> not finalized
+    assert not any(w == "11:00" for w, _ in emitted)
