@@ -456,3 +456,61 @@ def q36_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column", "n_rows", "n_nulls", "null_rate")
         .orderBy("column")
     )
+
+
+@query(
+    "q37_tpch_q6",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: pure scan-filter-aggregate (no join, no "
+    "group) — all four predicates push into the parquet scan, the aggregate "
+    "reduces map-side to a single row per partition",
+)
+def q37_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q38_not_in_subquery",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    description="NOT IN subquery: plans as null-aware anti join (distinct from "
+    "NOT EXISTS — a NULL in the subquery would empty the result; o_custkey is "
+    "non-null here so both engines agree)",
+)
+def q38_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey
+        """
+    )
