@@ -166,29 +166,44 @@ def ngram_jaccard_pairs(
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16 → 65,536 buckets/band
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over whitespace tokens with term-frequency weights.
+    """64-bit SimHash over whitespace tokens with term-frequency weights.
 
     Classic construction: per token hash h, each bit b votes +1 if set
     else -1; the signature sets bit b when the vote sum is positive.
-    Implemented as explode → 32 conditional SUM aggregates → bit
+    Implemented as explode → 64 conditional SUM aggregates → bit
     recombination, all JVM-side. Uses the portable md5-based hash so the
-    signature is bit-for-bit reproducible in any engine (oracle-checked).
+    signature is bit-for-bit reproducible in any engine (oracle-checked):
+    bits 0-31 come from md5 hex chars 1-8, bits 32-63 from chars 9-16.
+    The signature is a signed BIGINT; bit 63 is represented through the
+    two's-complement negative term, identical in Spark and DuckDB.
     """
     toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = portable_token_hash(F.col("tok"))
+    md5c = F.md5(F.col("tok"))
+    h_lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint")
+    h_hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint")
     votes = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(h_lo if b < 32 else h_hi, b % 32).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     sig = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+        # bit 63 of a signed 64-bit value is the sign bit: adding
+        # -2^63 sets it without overflowing (the low 63 bits sum < 2^63)
+        weight = -(2**63) if b == 63 else 2**b
+        term = F.when(F.col(f"v{b}") > 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sig = term if sig is None else sig + term
     return toks.groupBy("doc_id").agg(*votes).select("doc_id", sig.alias("simhash"))
 
@@ -197,10 +212,13 @@ def simhash_near_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale:
-    split the 32-bit signature into 4 bytes; by pigeonhole, any pair
-    within Hamming ≤3 agrees on at least one byte → equi-join on
+    split the 64-bit signature into 4 16-bit bands; by pigeonhole, any
+    pair within Hamming ≤3 agrees on at least one band → equi-join on
     (band_index, band_value) buckets, then verify exact distance via
-    bit_count(xor). No cross join anywhere."""
+    bit_count(xor). No cross join anywhere. 16-bit bands give 65,536
+    buckets per band, so bucket occupancy stays ~n/65,536 as the corpus
+    grows — the self-join fan-out survives a 100× scale-up (8-bit bands
+    cap at 256 buckets and degenerate toward quadratic)."""
     sigs = simhash(docs, text_col)
     bands = sigs.select(
         "doc_id",
@@ -210,11 +228,13 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * i)
-                        .bitwiseAND(F.lit(255))
+                        # arithmetic shift sign-extends for the top band;
+                        # the & 0xFFFF mask strips the extension
+                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
                         .alias("value"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bv"),

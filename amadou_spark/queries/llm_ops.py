@@ -102,18 +102,26 @@ def llm_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle() -> str:
     votes = ",\n               ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        f"SUM(CASE WHEN ({'h_lo' if b < 32 else 'h_hi'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
         for b in range(SIMHASH_BITS)
     )
+    # bit 63 enters as the two's-complement negative term (-2^63 spelled
+    # as -9223372036854775807 - 1: the bare literal would overflow the
+    # parser's positive-int range in both engines)
     sig = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        f"CASE WHEN v{b} > 0 THEN CAST("
+        + ("-9223372036854775807 - 1" if b == 63 else str(2**b))
+        + f" AS BIGINT) ELSE 0 END"
         for b in range(SIMHASH_BITS)
     )
     return f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         ), hashed AS (
-            SELECT doc_id, {_DUCK_H} AS h FROM toks
+            SELECT doc_id, {_DUCK_H} AS h_lo,
+                   CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS h_hi
+            FROM toks
         ), votes AS (
             SELECT doc_id,
                {votes}

@@ -57,7 +57,7 @@ class TestDedupSemantics:
     def test_simhash_identical_texts_same_signature(self, planted):
         sigs = {r.doc_id: r.simhash for r in simhash(planted).collect()}
         assert sigs[1] == sigs[2]
-        assert 0 <= sigs[1] < 2**32
+        assert -(2**63) <= sigs[1] < 2**63  # signed 64-bit signature
         assert sigs[1] != sigs[4]
 
 
