@@ -149,6 +149,34 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_ivf_sampled_training_and_bucketed_index(spark, sf_dir):
+    """The 100 TB index shape: quantizer trained on a bounded sample,
+    assignments persisted hash-bucketed by list_id, probe reads the
+    bucketed table. Results must match the inline (unpersisted) build
+    bit-for-bit — same seeds, same centroids, same re-rank."""
+    from amadou_spark.llm.similarity import cosine_topk_ivf
+    from amadou_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(5))
+    inline = cosine_topk_ivf(
+        emb, query_ids=qids, k=3, n_lists=8, n_probe=4, max_train_rows=200
+    ).collect()
+    persisted = cosine_topk_ivf(
+        emb,
+        query_ids=qids,
+        k=3,
+        n_lists=8,
+        n_probe=4,
+        max_train_rows=200,
+        index_table="ivf_index_test",
+    ).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in persisted]
+    # the persisted index is a real bucketed catalog table
+    assert spark.catalog.tableExists("ivf_index_test")
+    spark.sql("DROP TABLE IF EXISTS ivf_index_test")
+
+
 def test_resize_stub_contract(spark, sf_dir):
     from amadou_spark.llm.multimodal import as_media_table, resize_stub
 
