@@ -56,22 +56,32 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rank) — excludes self.
-    Ties broken by neighbor_id so the k-set is deterministic.
+    Ties broken by neighbor_id so the k-set is deterministic. The dot
+    product is an Arrow-batched numpy einsum (one Python crossing per
+    batch); norms are computed once per side, not per pair. Summation
+    order differs from a sequential fold, but ROUND(·, 6) absorbs the
+    last-bit float divergence (the DuckDB oracle's
+    list_cosine_similarity has its own order too).
     """
+    dot_pd = _dot_pd_udf()
     queries = embeddings.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     if query_ids is not None:
         queries = queries.filter(F.col("query_id").isin(query_ids))
-    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    queries = queries.withColumn(
+        "qnrm", F.sqrt(dot_pd(F.col("qvec"), F.col("qvec")))
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cnrm", F.sqrt(dot_pd(F.col("cvec"), F.col("cvec"))))
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                dot_pd(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
                 6,
             ).alias("cosine"),
         )

@@ -550,8 +550,9 @@ def llm_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "most-similar pairs",
 )
 def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from amadou_spark.llm.similarity import _dot, _norm
+    from amadou_spark.llm.similarity import _dot_pd_udf
 
+    dot_pd = _dot_pd_udf()
     t = register_tables(spark, sf_dir)
     a = t["embeddings"].select(
         F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
@@ -560,7 +561,7 @@ def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
     # explicit repartition before scoring: the pair rows are tiny in
-    # BYTES but heavy in per-row compute (64-dim fold), so AQE's
+    # BYTES but heavy in per-row compute (64-dim dot), so AQE's
     # byte-based coalescing would squeeze them onto 1-2 tasks; an
     # explicit numPartitions is exempt from AQE coalescing
     pairs = (
@@ -568,12 +569,18 @@ def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .repartition(64, "id_a")
     )
+    # Arrow-batched einsum for the pair dot products; norms per pair are
+    # fine here (each row is a distinct (a,b) pair anyway)
     return (
         pairs.select(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                dot_pd(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(dot_pd(F.col("va"), F.col("va")))
+                    * F.sqrt(dot_pd(F.col("vb"), F.col("vb")))
+                ),
                 6,
             ).alias("cosine"),
         )
