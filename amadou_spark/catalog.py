@@ -13,12 +13,15 @@ from pyspark.sql import types as T
 
 from amadou_spark.contracts import TABLE_NAMES, TPCH_TABLES
 
-# session-id → sf_dir whose tables are currently registered as views
-_CURRENT: dict[int, str] = {}
-# (session-id, sf_dir) → loaded DataFrames. DataFrames are immutable
+# applicationId → sf_dir whose tables are currently registered as views.
+# Keyed on applicationId, NOT id(spark): CPython can reuse an object id
+# after a stopped session is garbage-collected, which would hand back
+# cached DataFrames bound to the dead session.
+_CURRENT: dict[str, str] = {}
+# (applicationId, sf_dir) → loaded DataFrames. DataFrames are immutable
 # plan objects: reusing them skips a parquet footer/schema read per
 # table per query (~100-300 ms × 10 tables otherwise).
-_TABLES: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLES: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -60,13 +63,20 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Idempotent while sf_dir is unchanged; switching sf_dir re-points the
     views so spark.sql-path queries always read the requested scale."""
     sf_dir = sf_dir.rstrip("/")
-    key = (id(spark), sf_dir)
+    app = spark.sparkContext.applicationId
+    # evict entries of replaced/stopped sessions so the caches stay
+    # bounded (plans of a dead session are useless anyway)
+    for k in [k for k in _TABLES if k[0] != app]:
+        del _TABLES[k]
+    for k in [k for k in _CURRENT if k != app]:
+        del _CURRENT[k]
+    key = (app, sf_dir)
     tables = _TABLES.get(key)
     if tables is None:
         tables = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
         _TABLES[key] = tables
-    if _CURRENT.get(id(spark)) != sf_dir:
+    if _CURRENT.get(app) != sf_dir:
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
-        _CURRENT[id(spark)] = sf_dir
+        _CURRENT[app] = sf_dir
     return tables

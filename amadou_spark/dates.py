@@ -313,8 +313,16 @@ def backfill_dates(
 ) -> list[DateInterval]:
     """The reference's date-planning step (SparkRunner.scala:91-101):
     take ≤max_dates newest-first, stop at the first already-done date,
-    reverse to chronological order. ``start`` pins a single date."""
+    reverse to chronological order.
+
+    ``start`` (the reference's START_DATE / singleDate) becomes the
+    takeWhile predicate — ``start <= d``, i.e. backfill every scheduled
+    date from ``start`` up to the newest, exactly like
+    ``singleDate match { case Some(date) => date.<= }``. It REPLACES
+    ``should_run``: a pinned start forces reruns even of already-done
+    dates."""
     if start is not None:
-        return [DateInterval.parse(start)]
+        pinned = DateInterval.parse(start)
+        should_run = lambda d: pinned <= d  # noqa: E731
     dates = itertools.islice(schedule, max_dates)
     return list(itertools.takewhile(should_run, dates))[::-1]

@@ -109,11 +109,14 @@ def write_date_partition(
     overwrite), never the table. The retry-safe incremental sink —
     whole-stage retry (SparkRunner) plus this makes reruns exact no-ops.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.withColumn(partition_col, F.lit(date.partition_value()))
         .write.mode("overwrite")
+        # per-WRITE option, not a session conf: setting the session-wide
+        # spark.sql.sources.partitionOverwriteMode would silently turn
+        # every later plain overwrite in the same session into a
+        # partition-level overwrite (stale partitions left behind)
+        .option("partitionOverwriteMode", "dynamic")
         .format(fmt)
         .partitionBy(partition_col)
         .save(str(root))
@@ -129,7 +132,20 @@ def has_data_for_date(
     """Freshness probe for should_run_for_date (the engine-local analog
     of the reference's BigQuery hasDataForDate,
     bigquery/.../BigQueryClient.scala:142-169): does the output already
-    have a non-empty partition for this date? Implemented as a
-    partition-dir existence check — O(1) metadata, no scan."""
+    have a non-empty partition for this date? Checks for at least one
+    non-hidden data file inside the partition directory (a bare
+    directory-existence probe would return True for a partial dir left
+    by a crashed write, making the backfill takewhile skip that date
+    forever) — one FS listing, no data scan."""
     url = DataUrl(str(root)) / f"{partition_col}={date.partition_value()}"
-    return url.exists(spark)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(str(url))
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if status.isFile() and status.getLen() > 0 and not name.startswith(("_", ".")):
+            return True
+    return False

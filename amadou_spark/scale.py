@@ -29,7 +29,17 @@ def salted_join(
 
     Replication is an explode of a literal range — `other`'s scan is
     NOT repeated n times; rows fan out after the scan. Cost: `other`'s
-    shuffle volume × n_salts, the price of unsticking the hot key."""
+    shuffle volume × n_salts, the price of unsticking the hot key.
+
+    Only join types where an unmatched `other` row produces no output
+    are allowed: under 'right'/'full' every unmatched replicated right
+    row would be emitted n_salts times (duplicate rows)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}, not {how!r}: replicating "
+            "the right side duplicates its unmatched rows under right/full joins"
+        )
     salted_l = skewed.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )

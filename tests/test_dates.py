@@ -177,6 +177,18 @@ class TestSchedule:
         plan = backfill_dates(Schedule.daily(until=date(2016, 8, 10)))
         assert len(plan) == MAX_SCHEDULED_DATES
 
-    def test_start_pin(self):
-        plan = backfill_dates(Schedule.daily(), start="2017-02-21")
-        assert [str(d) for d in plan] == ["2017-02-21"]
+    def test_start_is_takewhile_predicate(self):
+        # SparkRunner.scala:91-95: singleDate => date.<= — backfill every
+        # scheduled date from START_DATE up to the newest, not one date.
+        plan = backfill_dates(
+            Schedule.daily(until=date(2016, 8, 10)), start="2016-08-08"
+        )
+        assert [str(d) for d in plan] == ["2016-08-08", "2016-08-09", "2016-08-10"]
+
+    def test_start_overrides_should_run(self):
+        plan = backfill_dates(
+            Schedule.daily(until=date(2016, 8, 10)),
+            should_run=lambda d: False,  # everything "already done"
+            start="2016-08-09",
+        )
+        assert [str(d) for d in plan] == ["2016-08-09", "2016-08-10"]
