@@ -77,6 +77,41 @@ def inject_s3_credentials(
     hadoop_conf.set("fs.s3a.secret.key", secret_key)
 
 
+def configure_gcs(
+    spark: SparkSession,
+    project_id: str | None = None,
+    json_keyfile: str | None = None,
+    pk12_keyfile: str | None = None,
+) -> None:
+    """GCS connector configuration, post-session and Hadoop-conf only
+    (never logged SparkConf) — mirrors the reference's
+    BigQuerySparkSession (bigquery/.../package.scala:75-118):
+    ``fs.gs.impl`` registered set-if-missing, project id forwarded to
+    the connector, service-account key file set for both the mapred
+    and fs layers.
+
+    No Google jars ship in this build; this only sets configuration,
+    which is exactly what the reference does too — the connector class
+    resolves at first filesystem access on a cluster that has it.
+    """
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if conf.get("fs.gs.impl") is None:
+        conf.set(
+            "fs.gs.impl", "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+        )
+    if project_id is not None:
+        conf.set("mapred.bq.project.id", project_id)
+        if conf.get("fs.gs.project.id") is None:
+            conf.set("fs.gs.project.id", project_id)
+    if json_keyfile is not None:
+        conf.set("mapred.bq.auth.service.account.json.keyfile", json_keyfile)
+        conf.set("fs.gs.auth.service.account.json.keyfile", json_keyfile)
+    if pk12_keyfile is not None:
+        conf.set("google.cloud.auth.service.account.keyfile", pk12_keyfile)
+        conf.set("mapred.bq.auth.service.account.keyfile", pk12_keyfile)
+        conf.set("fs.gs.auth.service.account.keyfile", pk12_keyfile)
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
