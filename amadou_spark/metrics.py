@@ -1,19 +1,27 @@
 """Execution metrics (reference: SparkRunner.scala:165-216 — Prometheus
-counters fed by a SparkListener accumulating bytes/records per stage).
+counters fed by a SparkListener accumulating bytes/records per task).
 
 PySpark has no first-class listener API, so the collector reads the
-same numbers from Spark's REST/status surface: executor memory/disk
-metrics and per-job task counts via ``sc.statusTracker()``, plus
-wall-clock durations stamped by the Stage context. `prometheus_client`
-is optional (import-gated) — when present, gauges mirror every
-snapshot; when absent, snapshots still flow to the monitoring topic.
+same numbers one layer down: the JVM's AppStatusListener already
+accumulates every ``onTaskEnd``'s taskMetrics into AppStatusStore, and
+:meth:`MetricsCollector.io_totals` sums the per-stage input/output/
+shuffle bytes and records from that store over py4j — the same values
+the reference's listener increments its Prometheus counters with
+(SparkRunner.scala:207-216), without a cross-language callback server.
+Job/stage counts come from ``sc.statusTracker()``; wall-clock durations
+are stamped by the Stage context. `prometheus_client` is optional
+(import-gated) — when present, gauges mirror every snapshot; when
+absent, snapshots still flow to the monitoring topic.
 """
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 
 from amadou_spark.monitoring.events import MetricsEvent
+
+logger = logging.getLogger(__name__)
 
 try:  # optional dependency — not in the test image
     from prometheus_client import Gauge  # type: ignore[import-not-found]
@@ -40,7 +48,43 @@ class MetricsCollector:
             "stages_active": float(n_stages),
             "default_parallelism": float(sc.defaultParallelism),
         }
+        metrics.update(self.io_totals())
         return metrics
+
+    def io_totals(self) -> dict[str, float]:
+        """Bytes/records read+written, accumulated per task by the JVM's
+        AppStatusListener (onTaskEnd → taskMetrics) and summed across
+        all stages of this application — parity with the reference's
+        spark_bytes_read / spark_records_read / spark_records_written
+        counters (SparkRunner.scala:202-216)."""
+        sc = self.spark.sparkContext
+        try:
+            jvm, gw = sc._jvm, sc._gateway
+            store = sc._jsc.sc().statusStore()
+            stages = store.stageList(
+                jvm.java.util.ArrayList(),  # all statuses
+                False,  # details
+                False,  # withSummaries
+                gw.new_array(jvm.double, 0),  # unsortedQuantiles
+                jvm.java.util.ArrayList(),  # all task statuses
+            )
+            fields = {
+                "bytes_read": "inputBytes",
+                "records_read": "inputRecords",
+                "bytes_written": "outputBytes",
+                "records_written": "outputRecords",
+                "shuffle_bytes_read": "shuffleReadBytes",
+                "shuffle_bytes_written": "shuffleWriteBytes",
+            }
+            totals = dict.fromkeys(fields, 0.0)
+            for i in range(stages.size()):
+                stage = stages.apply(i)
+                for out_key, getter in fields.items():
+                    totals[out_key] += float(getattr(stage, getter)())
+            return totals
+        except Exception:  # internal JVM surface — degrade, don't fail jobs
+            logger.warning("AppStatusStore metrics unavailable", exc_info=True)
+            return {}
 
     def publish_snapshot(self, ctx: Any, stage: str = "") -> dict[str, float]:
         metrics = self.snapshot()

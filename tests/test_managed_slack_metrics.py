@@ -77,3 +77,25 @@ def test_metrics_snapshot_shape(spark):
     snap = MetricsCollector(spark).snapshot()
     assert {"jobs_total", "jobs_active", "stages_active", "default_parallelism"} <= set(snap)
     assert snap["default_parallelism"] > 0
+
+
+def test_metrics_per_task_io_counters(spark, sf_dir):
+    """SparkRunner.scala:202-216 parity: after a real parquet scan the
+    per-task input byte/record totals accumulated by the JVM listener
+    must be visible (and grow monotonically, counter-style)."""
+    from amadou_spark.metrics import MetricsCollector
+
+    collector = MetricsCollector(spark)
+    before = collector.io_totals()
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    after = collector.io_totals()
+    assert after["bytes_read"] > 0
+    assert after["records_read"] >= before.get("records_read", 0) + n
+    assert set(after) >= {
+        "bytes_read",
+        "records_read",
+        "bytes_written",
+        "records_written",
+        "shuffle_bytes_read",
+        "shuffle_bytes_written",
+    }
