@@ -4,11 +4,20 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default all cores → local[*]).
 
 Output: {"metric": "suite_wall_clock", "value": <total-sec>, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": <sf>, "conf": {...}}
+         "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+The driver keeps only a ~2 KB tail of stdout, and 89 query names alone
+exceed that — so the stdout line adaptively keeps the SLOWEST queries
+until it fits one tail window (the fast tail of the distribution is
+the uninformative part), and the COMPLETE payload (all queries + conf)
+is written to BENCH_DETAIL.json next to this script for mechanical
+round-over-round diffs.
 
 Each query is forced with a count() action (materializes the full plan
 without driver-side row transfer). A warmup query amortizes session/JIT
-startup out of the measurement.
+startup out of the measurement; a tiny pandas-UDF warmup pre-spawns the
+Python worker pool so the first Arrow query doesn't absorb ~6 s of
+worker startup.
 """
 
 from __future__ import annotations
@@ -19,6 +28,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
 
 from amadou_spark.queries import REGISTRY, _load  # noqa: E402
 from amadou_spark.session import get_spark  # noqa: E402
@@ -31,6 +44,12 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches
     REGISTRY["q01_scan_projection"].fn(spark, sf_dir).count()
+    # warmup: spawn the Python/Arrow worker pool before any timed query
+    @pandas_udf("double")
+    def _warm(a: pd.Series) -> pd.Series:
+        return a.astype(float)
+
+    spark.range(1024).repartition(32).select(_warm(F.col("id"))).count()
 
     def cleanup() -> None:
         """Release leftovers so one query's debris (streaming memory-sink
@@ -70,21 +89,36 @@ def main() -> None:
             "spark.driver.memory",
         )
     }
-    print(
-        json.dumps(
-            {
-                "metric": "tier_a_suite_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "conf": conf,
-                "value_all": round(total_all, 3),
-                "n_queries": len(timings),
-                "n_tier_a": len(tier_a),
-            }
-        )
-    )
+    payload = {
+        "metric": "tier_a_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "conf": conf,
+        "value_all": round(total_all, 3),
+        "n_queries": len(timings),
+        "n_tier_a": len(tier_a),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+    # stdout line must fit the driver's ~2 KB stdout-tail window or it
+    # is recorded unparsed: keep the slowest queries, drop from the fast
+    # end until the line fits, and say how many were elided.
+    line_payload = dict(payload)
+    del line_payload["conf"]
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    kept = len(by_cost)
+    while kept > 1:
+        line_payload["queries"] = {n: timings[n] for n in by_cost[:kept]}
+        line_payload["queries_elided"] = len(timings) - kept
+        line = json.dumps(line_payload, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+        kept -= 4
+    print(line)
 
 
 if __name__ == "__main__":
