@@ -13,7 +13,7 @@ rows-only check, with pytest pinning their semantics instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from amadou_spark.catalog import register_tables
@@ -512,6 +512,84 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         messaging=PrintMessagingSystem(quiet=True),
     )
     return pipeline(ctx)
+
+
+#: portable per-doc hash bucket in [0, 100): Spark and DuckDB spell the
+#: same int(md5(doc_id_string)[:8], 16) % 100
+_SPARK_DOC_BUCKET = (
+    F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    .cast("bigint")
+    % 100
+)
+_DUCK_DOC_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "llm_split_train_val_test",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang, {_DUCK_DOC_BUCKET} AS b FROM documents)
+        ORDER BY doc_id
+    """,
+    description="deterministic hash-based train/val/test split (80/10/10): "
+    "bucket = portable_hash(doc_id) % 100. Zero coordination, zero state, "
+    "reproducible across engines/runs/reshards — the scale-safe way to cut "
+    "training splits (a seeded sample() changes membership when partitioning "
+    "changes; a content hash never does)",
+)
+def llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.when(_SPARK_DOC_BUCKET < 80, "train")
+            .when(_SPARK_DOC_BUCKET < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_DUCK_DOC_BUCKET.replace("% 100", "")}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 40
+        ORDER BY lang, rn
+    """,
+    description="deterministic stratified sampling: up to 40 docs per language, "
+    "chosen by portable-hash order (reproducible 'random' without RNG state). "
+    "One shuffle partitioned by the stratum key; per-stratum top-k via "
+    "row_number, so skewed strata cost O(stratum) not O(corpus)",
+)
+def llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    order_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = W.partitionBy("lang").orderBy(order_hash, "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .orderBy("lang", "rn")
+    )
 
 
 @query(

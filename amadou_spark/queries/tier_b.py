@@ -482,3 +482,35 @@ def b08_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return run_stream_to_table(agg, mode="complete").orderBy("c_mktsegment")
+
+
+@query(
+    "b09_stream_stream_join",
+    oracle="""
+        SELECT a.user_id,
+               a.event_id AS left_id,
+               b.event_id AS right_id
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_type = 'click' AND b.event_type = 'view'
+        ORDER BY a.user_id, left_id, right_id
+    """,
+    description="stream-stream inner join with event-time range bound: clicks "
+    "paired with same-user views within 30 min. Watermarks on both sides plus "
+    "the two-sided time condition bound the join state (buffered rows drop "
+    "once the other side's watermark passes), so state is O(horizon), not "
+    "O(stream). Oracle = the identical range join on the batch table.",
+)
+def b09_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.streaming.windows import stream_stream_join
+
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    joined = stream_stream_join(clicks, views, within="30 minutes")
+    return run_stream_to_table(joined, mode="append").orderBy(
+        "user_id", "left_id", "right_id"
+    )

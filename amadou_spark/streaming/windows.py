@@ -130,6 +130,38 @@ def stream_dedup_by_key(events: DataFrame, *keys: str, watermark: str = "1 hour"
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time range bound:
+    pair each left row with right rows of the same user arriving in
+    [left.ts, left.ts + within].
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can size the join state: a
+    buffered left row is dropped once the right watermark passes
+    left.ts + within (state ~ O(rows inside the horizon), independent
+    of stream length). Works identically on batch inputs (the oracle
+    path) — the condition is the same range predicate."""
+    a, b = left.alias("a"), right.alias("b")
+    if left.isStreaming:
+        a = left.withWatermark("ts", watermark).alias("a")
+        b = right.withWatermark("ts", watermark).alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("left_id"),
+        F.col("b.event_id").alias("right_id"),
+    )
+
+
 def stateful_user_counts(events_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event counts held in explicit GroupState.
