@@ -515,12 +515,17 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: portable per-doc hash bucket in [0, 100): Spark and DuckDB spell the
-#: same int(md5(doc_id_string)[:8], 16) % 100
-_SPARK_DOC_BUCKET = (
-    F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-    .cast("bigint")
-    % 100
-)
+#: same int(md5(doc_id_string)[:8], 16) % 100. Built lazily — Column
+#: expressions need a live SparkContext, and this module imports at
+#: registry load time, possibly before any session exists.
+def _spark_doc_bucket():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
 _DUCK_DOC_BUCKET = (
     "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
 )
@@ -544,13 +549,14 @@ _DUCK_DOC_BUCKET = (
 )
 def llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
+    bucket = _spark_doc_bucket()
     return (
         t["documents"]
         .select(
             "doc_id",
             "lang",
-            F.when(_SPARK_DOC_BUCKET < 80, "train")
-            .when(_SPARK_DOC_BUCKET < 90, "val")
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
             .otherwise("test")
             .alias("split"),
         )
