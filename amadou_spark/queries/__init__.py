@@ -103,6 +103,12 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from amadou_spark.queries import extensions, llm_ops, tier_a, tier_b  # noqa: F401
+    from amadou_spark.queries import (  # noqa: F401
+        extensions,
+        llm_ops,
+        tier_a,
+        tier_b,
+        tpch_more,
+    )
 
     _LOADED = True

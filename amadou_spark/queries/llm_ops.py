@@ -671,3 +671,123 @@ def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "id_a", "id_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- decontamination / quality
+
+@query(
+    "llm_decontaminate",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id, source,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                       || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 4) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, source, shingle FROM sh0
+        ), eval_sh AS (
+            SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+        ), train_sh AS (
+            SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+        )
+        SELECT doc_id, count(*) AS n_shared_shingles
+        FROM train_sh JOIN eval_sh USING (shingle)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    description="eval-set decontamination: flag training documents sharing "
+    "any 5-gram shingle with the held-out eval source (src0). The eval "
+    "shingle set is small by construction (holdouts are), so it BROADCASTS "
+    "into an equi-join against the training shingles — at 100 TB the train "
+    "side streams through one codegen stage and never shuffles on text. "
+    "Docs are word-soup over a ~30-word vocab, so 5-grams (not the 3-grams "
+    "dedup uses) give realistic selectivity: only true cross-source "
+    "duplicates are flagged. No reference analog (the reference has no "
+    "document ops; capability from SURVEY §2.2 B08 extensions).",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.dedup import exploded_shingles
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    eval_sh = (
+        exploded_shingles(docs.filter(F.col("source") == "src0"), n=5)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = exploded_shingles(
+        docs.filter(F.col("source") != "src0"), n=5
+    ).distinct()
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_quality_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), big0 AS (
+            SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS bigram
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 1) OVER w IS NOT NULL
+        ), stats AS (
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   count(DISTINCT bigram) AS n_distinct
+            FROM big0 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               ROUND(1.0 - len(list_distinct(string_split(d.text, ' ')))
+                         / CAST(len(string_split(d.text, ' ')) AS DOUBLE), 6)
+                   AS dup_token_frac,
+               ROUND(1.0 - s.n_distinct / CAST(s.n_bigrams AS DOUBLE), 6)
+                   AS dup_bigram_frac
+        FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+    """,
+    description="repetition-based quality scoring (the Gopher-style "
+    "duplicate-n-gram filters): per-doc duplicate-token and duplicate-bigram "
+    "fractions, computed ENTIRELY as per-row expressions on one scan — no "
+    "shuffle at all, the ideal shape for a 100 TB quality-filter pass. "
+    "Fractions divide exact integer counts, so both engines produce "
+    "bit-identical doubles before ROUND. Every doc in the corpus has >=10 "
+    "tokens (verified at all SFs), so the bigram denominator is never zero "
+    "(a when() guard covers the general case anyway).",
+)
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.dedup import shingles_of
+    from amadou_spark.llm.text import tokens
+
+    t = register_tables(spark, sf_dir)
+    toks = F.col("_toks")
+    n_tokens = F.size(toks)
+    n_bigrams = (n_tokens - 1).cast("double")
+    distinct_bigrams = F.size(shingles_of(toks, F.col("text"), n=2))
+    dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    dup_big = F.when(
+        n_tokens >= 2, F.lit(1.0) - distinct_bigrams / n_bigrams
+    ).otherwise(0.0)
+    return (
+        t["documents"]
+        .select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.round(dup_tok, 6).alias("dup_token_frac"),
+            F.round(dup_big, 6).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
