@@ -791,3 +791,102 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_text_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok
+        ), dl AS (
+            SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
+        ), df AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+        ), nd AS (
+            SELECT count(*) AS n_docs FROM documents
+        )
+        SELECT tf.doc_id, tf.tok,
+               ROUND((tf.n / CAST(dl.doc_len AS DOUBLE))
+                     * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (tok)
+        CROSS JOIN nd
+        ORDER BY tf.doc_id, tf.tok
+    """,
+    description="TF-IDF term weighting over the corpus: tf = term count / "
+    "doc length, idf = ln(N / df). One explode feeds THREE aggregations "
+    "(term counts, doc lengths, document frequencies) that Catalyst computes "
+    "from the same scan; the df table joins back on the term (equi-join — "
+    "broadcast while the vocabulary is small, shuffle-partitioned when it "
+    "isn't) and N is a single-row broadcast. The arithmetic keeps the exact "
+    "same operation order in both engines so the doubles agree bit-for-bit "
+    "before ROUND.",
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import tokens
+
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("_n"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("_doc_len"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("_df"))
+    nd = t["documents"].agg(F.count("*").alias("_n_docs"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(df, "tok")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("_n") / F.col("_doc_len").cast("double"))
+                * F.log(F.col("_n_docs").cast("double") / F.col("_df")),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "tok")
+    )
+
+
+@query(
+    "llm_text_top_ngrams",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), big AS (
+            SELECT tok || ' ' || lead(tok, 1) OVER w AS bigram
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 1) OVER w IS NOT NULL
+        )
+        SELECT bigram, count(*) AS n_occurrences
+        FROM big
+        GROUP BY bigram
+        ORDER BY n_occurrences DESC, bigram
+        LIMIT 100
+    """,
+    description="corpus-wide n-gram frequency (top-100 bigrams): the "
+    "codegen-path shingle explode feeds one partial-aggregated count — "
+    "map-side combine collapses each partition to its distinct bigrams "
+    "before the single shuffle, and the top-k is TakeOrderedAndProject "
+    "(per-partition heaps), so at 100 TB nothing but (bigram, count) pairs "
+    "ever move",
+)
+def llm_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.dedup import exploded_shingles
+
+    t = register_tables(spark, sf_dir)
+    return (
+        exploded_shingles(t["documents"], n=2)
+        .groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(100)
+    )

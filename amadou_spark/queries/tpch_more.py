@@ -286,21 +286,31 @@ def q43_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
         FROM lineitem
         GROUP BY l_partkey
-        HAVING SUM(l_quantity) > (SELECT SUM(l_quantity) * 0.0005 FROM lineitem)
+        HAVING SUM(l_quantity) >
+               (SELECT 1.5 * SUM(l_quantity) / COUNT(DISTINCT l_partkey)
+                FROM lineitem)
         ORDER BY total_qty DESC, l_partkey
     """,
     description="TPC-H Q11 shape (important stock, on lineitem quantity — no "
-    "partsupp table): HAVING against a scalar subquery; the global total is a "
-    "one-row aggregate broadcast into the per-part filter, never a second "
-    "shuffle of the fact. Quantities are integral-valued doubles, so the sums "
-    "are exact in IEEE double and the threshold compare is engine-stable",
+    "partsupp table): HAVING against a scalar subquery; the global threshold "
+    "is a one-row aggregate broadcast into the per-part filter, never a "
+    "second shuffle of the fact. The threshold is 1.5× the MEAN per-part "
+    "quantity — scale-invariant, like TPC-H's own fraction/SF scaling, so "
+    "the result stays non-degenerate at every SF (a fixed fraction of the "
+    "grand total empties out as the part count grows). Quantities are "
+    "integral-valued doubles, so the sums are exact in IEEE double and the "
+    "threshold compare is engine-stable",
 )
 def q44_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     per_part = t["lineitem"].groupBy("l_partkey").agg(
         F.sum("l_quantity").alias("_qty")
     )
-    total = t["lineitem"].agg((F.sum("l_quantity") * 0.0005).alias("_threshold"))
+    total = t["lineitem"].agg(
+        (F.lit(1.5) * F.sum("l_quantity") / F.countDistinct("l_partkey")).alias(
+            "_threshold"
+        )
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("_qty") > F.col("_threshold"))
