@@ -890,3 +890,88 @@ def llm_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "bigram")
         .limit(100)
     )
+
+
+@query(
+    "llm_embedding_centroids",
+    oracle="""
+        WITH vals AS (
+            SELECT label,
+                   unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ), centroid AS (
+            SELECT label, pos, AVG(CAST(val AS DOUBLE)) AS c
+            FROM vals GROUP BY label, pos
+        ), norms AS (
+            SELECT label, SQRT(SUM(c * c)) AS centroid_norm
+            FROM centroid GROUP BY label
+        ), counts AS (
+            SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label
+        )
+        SELECT label, n_vectors, ROUND(centroid_norm, 6) AS centroid_norm
+        FROM norms JOIN counts USING (label)
+        ORDER BY label
+    """,
+    description="per-label embedding centroids (the training step of IVF / "
+    "the class-prototype op): posexplode to (label, dim, value), ONE "
+    "partial-aggregated shuffle on (label, dim), then a tiny (labels × dims) "
+    "re-aggregation to the centroid norm. At 100 TB the explode is the "
+    "codegen path and the shuffle carries only (label, dim, partial sums) — "
+    "never vectors. Averages of floats differ across engines only in the "
+    "last ulp (summation order), far below the ROUND(6) grid.",
+)
+def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    vals = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    centroid = vals.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("_c")
+    )
+    norms = centroid.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_norm")
+    )
+    counts = t["embeddings"].groupBy("label").agg(F.count("*").alias("n_vectors"))
+    return (
+        norms.join(counts, "label")
+        .select("label", "n_vectors", F.round("_norm", 6).alias("centroid_norm"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "llm_sessionize_events",
+    oracle="""
+        WITH g AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) >= 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT event_id, user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM g
+        ORDER BY user_id, event_id
+    """,
+    description="batch per-event sessionization (operators/sessionize.py): "
+    "gap >= 30 min starts a new session; every event keeps its row and gains "
+    "a 1-based per-user session id — the per-event shape attribution and "
+    "feature pipelines need, where session_window (b07) collapses rows. Both "
+    "window passes share ONE shuffle+sort on user_id. Equal-timestamp ties "
+    "are provably order-insensitive here: a tied row's gap is 0, so its "
+    "is_new is 0 and the running sum is identical either way.",
+)
+def llm_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.operators.sessionize import sessionize
+
+    t = register_tables(spark, sf_dir)
+    return (
+        sessionize(t["events"], key="user_id", ts="ts", gap_seconds=1800)
+        .select("event_id", "user_id", "session_id")
+        .orderBy("user_id", "event_id")
+    )
