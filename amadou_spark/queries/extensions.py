@@ -514,3 +514,51 @@ def q38_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "q39b_incremental_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               event_type,
+               count(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(SUM(value) / count(*), 6) AS avg_value
+        FROM events
+        GROUP BY date_trunc('month', ts), event_type
+        ORDER BY month, event_type
+    """,
+    description="incremental rollup (continuous-aggregate maintenance): "
+    "monthly figures are computed by MERGING daily partial aggregates — "
+    "sum-of-sums and sum-of-counts, with avg recomposed as sum/count at read "
+    "time (avg itself is not mergeable; its decomposition is). At 100 TB "
+    "this is the pattern that never re-scans raw data: each day appends one "
+    "partial row per group, and any coarser window is an aggregate of "
+    "partials, ~1e4× smaller than the fact. The oracle aggregates the raw "
+    "table directly, proving the two-level merge is exact.",
+)
+def q39b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", "ts").alias("_day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("_n"), F.sum("value").alias("_sum"))
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "_day").cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(F.sum("_n").alias("n_events"), F.sum("_sum").alias("_total"))
+        .select(
+            "month",
+            "event_type",
+            "n_events",
+            F.round("_total", 2).alias("sum_value"),
+            F.round(F.col("_total") / F.col("n_events"), 6).alias("avg_value"),
+        )
+        .orderBy("month", "event_type")
+    )
