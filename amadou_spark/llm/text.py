@@ -102,3 +102,29 @@ def fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1_000_003) -
         .groupBy("doc_id")
         .agg((F.sum("term") % mod).alias("fingerprint"))
     )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality metrics, per document: fraction of
+    duplicate tokens and duplicate word-bigrams. Pure per-row expressions
+    on one scan — zero shuffles, the ideal 100 TB quality-filter shape.
+    Fractions divide exact integer counts, so the doubles are bit-stable
+    across engines before rounding."""
+    from amadou_spark.llm.dedup import shingles_of
+
+    toks = F.col("_toks")
+    n_tokens = F.size(toks)
+    n_bigrams = (n_tokens - 1).cast("double")
+    distinct_bigrams = F.size(shingles_of(toks, F.col(text_col), n=2))
+    dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    dup_big = F.when(
+        n_tokens >= 2, F.lit(1.0) - distinct_bigrams / n_bigrams
+    ).otherwise(0.0)
+    return docs.select(
+        "doc_id", text_col, tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(dup_big, 6).alias("dup_bigram_frac"),
+    )

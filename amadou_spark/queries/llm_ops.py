@@ -768,29 +768,10 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a when() guard covers the general case anyway).",
 )
 def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from amadou_spark.llm.dedup import shingles_of
-    from amadou_spark.llm.text import tokens
+    from amadou_spark.llm.text import repetition_metrics
 
     t = register_tables(spark, sf_dir)
-    toks = F.col("_toks")
-    n_tokens = F.size(toks)
-    n_bigrams = (n_tokens - 1).cast("double")
-    distinct_bigrams = F.size(shingles_of(toks, F.col("text"), n=2))
-    dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tokens.cast("double")
-    dup_big = F.when(
-        n_tokens >= 2, F.lit(1.0) - distinct_bigrams / n_bigrams
-    ).otherwise(0.0)
-    return (
-        t["documents"]
-        .select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
-        .select(
-            "doc_id",
-            n_tokens.cast("bigint").alias("n_tokens"),
-            F.round(dup_tok, 6).alias("dup_token_frac"),
-            F.round(dup_big, 6).alias("dup_bigram_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    return repetition_metrics(t["documents"]).orderBy("doc_id")
 
 
 @query(

@@ -186,3 +186,47 @@ def test_resize_stub_contract(spark, sf_dir):
     for r in out:
         assert r.n_bytes_out == (r.n_bytes_in + 3) // 4
         assert len(bytes(r.payload)) == r.n_bytes_out
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    """A train doc embedding a verbatim 5-gram from an eval doc is
+    flagged; an unrelated train doc is not."""
+    from amadou_spark.llm.dedup import exploded_shingles
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "eval"),
+            (2, "intro text then the quick brown fox jumps and more", "train"),
+            (3, "completely unrelated words about spark plans here", "train"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    eval_sh = (
+        exploded_shingles(docs.filter(F.col("source") == "eval"), n=5)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = exploded_shingles(docs.filter(F.col("source") == "train"), n=5).distinct()
+    flagged = {
+        r.doc_id
+        for r in train_sh.join(F.broadcast(eval_sh), "shingle").select("doc_id").distinct().collect()
+    }
+    assert flagged == {2}
+
+
+def test_repetition_metrics_known_values(spark):
+    """dup fractions on hand-computable docs: 'a a a a' has 3/4 duplicate
+    tokens and 2/3 duplicate bigrams; an all-distinct doc has zero both."""
+    from amadou_spark.llm.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert out[1].n_tokens == 4
+    assert abs(out[1].dup_token_frac - 0.75) < 1e-9
+    assert abs(out[1].dup_bigram_frac - (1 - 1 / 3)) < 1e-6
+    assert out[2].dup_token_frac == 0.0
+    assert out[2].dup_bigram_frac == 0.0
