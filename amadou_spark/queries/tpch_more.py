@@ -492,3 +492,417 @@ def q48_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q49_tpch_q2",
+    oracle="""
+        WITH partsupp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             eursupp AS (
+                 SELECT s_suppkey, s_name, s_acctbal, n_name
+                 FROM supplier
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part
+        JOIN partsupp ON p_partkey = l_partkey
+        JOIN eursupp  ON l_suppkey = s_suppkey
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+          AND s_acctbal = (
+              SELECT MAX(e2.s_acctbal)
+              FROM partsupp ps2 JOIN eursupp e2 ON ps2.l_suppkey = e2.s_suppkey
+              WHERE ps2.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    description="TPC-H Q2 shape (min-cost supplier; the part-supplier "
+    "relation is DISTINCT(l_partkey,l_suppkey) since there is no partsupp "
+    "table, and MAX(s_acctbal) stands in for MIN(ps_supplycost)): the "
+    "correlated argmax subquery plans as a groupBy-max over the already "
+    "part-filtered candidate set, broadcast back — the fact is touched once "
+    "for the projected two-column distinct, never re-scanned per part",
+)
+def q49_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    partsupp = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    eur = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t["part"].filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    cand = partsupp.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = cand.groupBy(F.col("p_partkey").alias("_bk")).agg(
+        F.max("s_acctbal").alias("_max_bal")
+    )
+    return (
+        cand.join(F.broadcast(best), F.col("p_partkey") == F.col("_bk"))
+        .filter(F.col("s_acctbal") == F.col("_max_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q50_tpch_q12",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="TPC-H Q12 shape (shipping-mode priority split; l_returnflag "
+    "stands in for the missing l_shipmode): one year of the fact joined to "
+    "orders on the co-partitioned orderkey, priority split as conditional "
+    "sums — the only shuffles are the orderkey join and a 3-group aggregate",
+)
+def q50_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q51_tpch_q13",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 shape (customer order-count distribution; the "
+    "priority exclusion stands in for the comment NOT LIKE): the ON-clause "
+    "predicate filters orders BEFORE the left join so customers with only "
+    "urgent orders still appear with c_count=0; the histogram re-aggregation "
+    "runs over one row per customer — tiny by then",
+)
+def q51_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q52_tpch_q16",
+    oracle="""
+        WITH partsupp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 shape (supplier-count by part attribute; negative "
+    "s_acctbal stands in for the complaints filter): the two-column distinct "
+    "projection of the fact joins a broadcast brand/size-filtered part dim, "
+    "anti-joins the (tiny, broadcast) complaint suppliers, then counts "
+    "distinct suppliers per (brand, type, size)",
+)
+def q52_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    partsupp = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        partsupp.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q53_tpch_q17",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey)
+    """,
+    description="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated per-part AVG dissolves into one groupBy over the "
+    "brand-filtered fact subset (the brand filter selects whole parts, so "
+    "restricting the average's input to the brand is exact), broadcast back "
+    "as a per-part threshold. Quantities are integral doubles, so AVG and "
+    "the 0.2x threshold are the same IEEE doubles in both engines",
+)
+def q53_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_b = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li_b.groupBy(F.col("p_partkey").alias("_tk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thresh")
+    )
+    return (
+        li_b.join(F.broadcast(thresh), F.col("p_partkey") == F.col("_tk"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q54_tpch_q19",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    description="TPC-H Q19 shape (discounted revenue, disjunctive "
+    "predicates): the part-only disjunction is applied to the dimension "
+    "BEFORE the broadcast join (Catalyst does not reliably extract one-side "
+    "implications from a cross-table OR), the full three-way OR stays as the "
+    "post-join residual — the fact is scanned once with no shuffle at all "
+    "before the single-row aggregate",
+)
+def q54_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    part_pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    full_pred = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    parts = t["part"].filter(part_pred).select("p_partkey", "p_brand", "p_size")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full_pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q55_tpch_q20",
+    oracle="""
+        WITH greenship AS (
+            SELECT l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_19'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM greenship
+              WHERE qty > (SELECT AVG(qty) FROM greenship))
+        ORDER BY s_name
+    """,
+    description="TPC-H Q20 shape (excess-stock suppliers; 'shipped more "
+    "blue-part quantity than the average supplier this year' stands in for "
+    "the ps_availqty threshold, which keeps the result non-degenerate at "
+    "every SF): nested IN subqueries plan as a chain of broadcasts — blue "
+    "parts into the fact scan, the one-row AVG into the per-supplier "
+    "aggregate, the surviving hot-supplier keys into a broadcast semi join",
+)
+def q55_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    green = t["part"].filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(F.broadcast(green), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    avg_qty = shipped.agg(F.avg("_qty").alias("_avg"))
+    hot = (
+        shipped.join(F.broadcast(avg_qty))
+        .filter(F.col("_qty") > F.col("_avg"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_19")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(hot), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q56_tpch_q21",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate
+          AND n_name = 'NATION_2'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    description="TPC-H Q21 shape (suppliers who kept orders waiting; "
+    "l_shipdate > o_orderdate stands in for receipt-past-commit): the "
+    "EXISTS/NOT-EXISTS pair over the same fact plans as a LEFT SEMI then "
+    "LEFT ANTI self-join, all three lineitem sides hashed on the SAME "
+    "l_orderkey so the exchanges co-partition and AQE can reuse them; the "
+    "suppkey inequality and shipdate comparison ride along as join "
+    "residuals, never a cartesian",
+)
+def q56_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"]
+    supp2 = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_2")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    base = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(F.broadcast(supp2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("_k3"),
+        F.col("l_suppkey").alias("_s3"),
+        F.col("l_shipdate").alias("_d3"),
+    )
+    return (
+        base.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_k2"))
+            & (F.col("l_suppkey") != F.col("_s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_k3"))
+            & (F.col("l_suppkey") != F.col("_s3"))
+            & (F.col("_d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
