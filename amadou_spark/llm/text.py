@@ -128,3 +128,30 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(dup_tok, 6).alias("dup_token_frac"),
         F.round(dup_big, 6).alias("dup_bigram_frac"),
     )
+
+
+#: (name, pattern, placeholder) — email first so the address never
+#: survives long enough for the phone/SSN patterns to see its digits.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training-data pipelines: count then replace
+    emails, phone numbers, and SSN-shaped tokens with typed placeholders.
+    Counts are taken on the ORIGINAL text (the patterns are mutually
+    non-overlapping), redaction is a chained regexp_replace — all
+    JVM-side regex on one scan, zero shuffles, embarrassingly parallel
+    at 100 TB."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return docs.select("doc_id", *counts, redacted.alias("redacted"))

@@ -562,3 +562,70 @@ def q39b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "event_type")
     )
+
+
+@query(
+    "q15b_cube",
+    oracle="""
+        SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    description="CUBE grouping sets (all four combinations incl. both "
+    "marginals — completes the ROLLUP coverage of q15): Spark expands the "
+    "cube map-side into one Expand node feeding a single hash aggregate, so "
+    "the 4x row inflation never hits the shuffle un-aggregated",
+)
+def q15b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            "g_flag", "g_status", "l_returnflag", "l_linestatus", "n_rows", "sum_qty"
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q15c_grouping_sets",
+    oracle="""
+        SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               l_returnflag, l_linestatus,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    description="explicit GROUPING SETS (an arbitrary subset of the cube "
+    "lattice — the general form ROLLUP/CUBE are sugar for), via spark.sql "
+    "over the registered views; same single-Expand physical plan as q15b",
+)
+def q15c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               l_returnflag, l_linestatus,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    )

@@ -956,3 +956,58 @@ def llm_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "session_id")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "llm_pii_redact",
+    oracle="""
+        WITH contactful AS (
+            SELECT doc_id,
+                   text || ' reach user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 321-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' id 123-45-6789' ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS redacted
+        FROM contactful ORDER BY doc_id
+    """,
+    description="PII redaction (training-data scrubbing): the corpus is "
+    "synthetic word streams with no real PII, so the query first plants a "
+    "deterministic doc_id-derived email/phone (and an SSN on every third "
+    "doc), then counts and redacts each class with typed placeholders — "
+    "chained JVM regex on one scan, zero shuffles; the planted rows make "
+    "every count column non-degenerate and hash-checkable",
+)
+def llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import redact_pii
+
+    t = register_tables(spark, sf_dir)
+    planted = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 321-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" id 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(planted).orderBy("doc_id")

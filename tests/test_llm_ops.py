@@ -230,3 +230,21 @@ def test_repetition_metrics_known_values(spark):
     assert abs(out[1].dup_bigram_frac - (1 - 1 / 3)) < 1e-6
     assert out[2].dup_token_frac == 0.0
     assert out[2].dup_bigram_frac == 0.0
+
+
+def test_redact_pii_planted_fixture(spark):
+    """Each PII class is counted and replaced; clean text is untouched."""
+    from amadou_spark.llm.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org call 555-123-4567 ssn 987-65-4321"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ssn) == (2, 1, 1)
+    assert out[1].redacted == "mail [EMAIL] and [EMAIL] call [PHONE] ssn [SSN]"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ssn) == (0, 0, 0)
+    assert out[2].redacted == "nothing sensitive here"
