@@ -14,7 +14,7 @@ orderkey joins and the final aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from amadou_spark.catalog import register_tables
@@ -520,7 +520,7 @@ def q48_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relation is DISTINCT(l_partkey,l_suppkey) since there is no partsupp "
     "table, and MAX(s_acctbal) stands in for MIN(ps_supplycost)): the "
     "correlated argmax subquery plans as a groupBy-max over the already "
-    "part-filtered candidate set, broadcast back — the fact is touched once "
+    "part-filtered candidate set, computed by a per-part window max in ONE pass — the fact is touched once "
     "for the projected two-column distinct, never re-scanned per part",
 )
 def q49_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,11 +547,9 @@ def q49_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = partsupp.join(
         F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
     ).join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
-    best = cand.groupBy(F.col("p_partkey").alias("_bk")).agg(
-        F.max("s_acctbal").alias("_max_bal")
-    )
+    per_part = W.partitionBy("p_partkey")
     return (
-        cand.join(F.broadcast(best), F.col("p_partkey") == F.col("_bk"))
+        cand.withColumn("_max_bal", F.max("s_acctbal").over(per_part))
         .filter(F.col("s_acctbal") == F.col("_max_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
