@@ -155,3 +155,72 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, repl)
     return docs.select("doc_id", *counts, redacted.alias("redacted"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size training
+    chunks with overlap (chunk_size - stride tokens shared between
+    consecutive chunks — context continuity for LM training). Pure
+    JVM array expressions: sequence → posexplode → slice; the fan-out
+    happens map-side with zero shuffles, so 100 TB chunks exactly as
+    well as 100 MB."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_tk"), F.lit(1)), F.lit(stride))
+    chunk = F.slice(F.col("_tk"), F.col("_start"), chunk_size)
+    return (
+        docs.select("doc_id", toks.alias("_tk"))
+        .select("doc_id", "_tk", F.explode(starts).alias("_start"))
+        .select(
+            "doc_id",
+            ((F.col("_start") - 1) / stride).cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = 256,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    (sequence packing). Scale shape: a GLOBAL running sum would need a
+    single total order — instead docs are hash-sharded (deterministic
+    md5, reshard-stable) and packed per shard with one window per
+    shard partition; a sequence is globally identified by (shard,
+    seq_id). A doc is placed by the running token count BEFORE it, so
+    docs straddling a boundary belong to the sequence they start in —
+    the streaming-friendly convention."""
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+        )
+        .withColumn("_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("_before") / budget).cast("bigint").alias("seq_id"),
+            (F.col("_before") % budget).cast("bigint").alias("offset"),
+        )
+    )

@@ -1011,3 +1011,127 @@ def llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return redact_pii(planted).orderBy("doc_id")
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), ok AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT id_a, id_b FROM common
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+        ), sym AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ), walk AS (
+            SELECT a AS src, b AS node FROM sym
+            UNION
+            SELECT w.src, s.b FROM walk w JOIN sym s ON w.node = s.a
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(node)) AS cluster_id
+        FROM walk GROUP BY src ORDER BY doc_id
+    """,
+    description="near-dup pairs → duplicate CLUSTERS via distributed "
+    "connected components (iterative min-label propagation, one edge-key "
+    "shuffle per round, O(component diameter) rounds — dup clusters are "
+    "near-cliques so it converges in 2-4; large-star/small-star slots into "
+    "the same loop for adversarial graphs). Completes the dedup story: "
+    "candidate pair → verify → cluster → one canonical keep-id per group. "
+    "Oracle = DuckDB recursive-CTE transitive closure over the same "
+    "3-gram-Jaccard>=0.5 edge set",
+)
+def llm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.operators.graph import connected_components
+
+    t = register_tables(spark, sf_dir)
+    edges = ngram_jaccard_pairs(
+        t["documents"], min_jaccard=0.5, max_shingle_freq=1000
+    ).select("id_a", "id_b")
+    return (
+        connected_components(edges)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               CAST((st - 1) // 48 AS BIGINT) AS chunk_id,
+               CAST(len(t[st : least(st + 63, len(t))]) AS BIGINT) AS n_tokens,
+               array_to_string(t[st : least(st + 63, len(t))], ' ') AS chunk_text
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t), 1), 48)) AS st
+              FROM tk)
+        ORDER BY doc_id, chunk_id
+    """,
+    description="LM training chunking: 64-token chunks, stride 48 (16-token "
+    "overlap for context continuity) — sequence → explode → slice, all "
+    "JVM-side array expressions, fan-out entirely map-side with zero "
+    "shuffles before the output sort",
+)
+def llm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import chunk_documents
+
+    t = register_tables(spark, sf_dir)
+    return chunk_documents(t["documents"], chunk_size=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 32 AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents)
+        SELECT doc_id, shard, n_tokens,
+               CAST(b // 256 AS BIGINT) AS seq_id,
+               CAST(b % 256 AS BIGINT) AS seq_offset
+        FROM (SELECT *,
+                     COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+              FROM base)
+        ORDER BY doc_id
+    """,
+    description="training-sequence packing under a 256-token budget: docs "
+    "are hash-sharded (portable md5, reshard-stable) and packed per shard "
+    "with ONE window per shard partition — a global running sum would force "
+    "a single total order, the per-shard design keeps every partition "
+    "independent at 100 TB; a sequence is globally (shard, seq_id)",
+)
+def llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import pack_sequences
+
+    t = register_tables(spark, sf_dir)
+    packed = pack_sequences(t["documents"], budget=256, n_shards=32)
+    return packed.withColumnRenamed("offset", "seq_offset").orderBy("doc_id")

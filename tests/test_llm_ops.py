@@ -248,3 +248,33 @@ def test_redact_pii_planted_fixture(spark):
     assert out[1].redacted == "mail [EMAIL] and [EMAIL] call [PHONE] ssn [SSN]"
     assert (out[2].n_email, out[2].n_phone, out[2].n_ssn) == (0, 0, 0)
     assert out[2].redacted == "nothing sensitive here"
+
+
+def test_connected_components_planted_graph(spark):
+    """Two components (a 4-chain — needs >1 propagation round — and a
+    pair) resolve to min-id labels; the isolated node is absent."""
+    from amadou_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(3, 9), (9, 12), (12, 20), (40, 41)], "id_a long, id_b long"
+    )
+    out = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert out == {3: 3, 9: 3, 12: 3, 20: 3, 40: 40, 41: 40}
+
+
+def test_pack_sequences_budget_invariants(spark):
+    """Every sequence holds consecutive docs of its shard; a doc's
+    offset is the running sum before it, mod budget."""
+    from amadou_spark.llm.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget=64, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        before = by_shard.get(r.shard, 0)
+        assert r.seq_id == before // 64
+        assert r.offset == before % 64
+        by_shard[r.shard] = before + r.n_tokens
