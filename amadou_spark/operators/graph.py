@@ -35,16 +35,32 @@ def connected_components(
     cluster_id is the minimum node id in the node's connected
     component. Nodes with no edges are absent (callers union
     singletons back if they want total coverage)."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    # Cache the directed edge list FIRST: the symmetric union below reads
+    # it twice, and without the cache each read re-runs the (possibly
+    # expensive) upstream pair-generation lineage — e.g. a shingle
+    # self-join — from scratch.
+    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    directed.persist()
+    raw_sym = directed.union(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    raw_sym.persist()
+    n_sym = raw_sym.count()
+    directed.unpersist()
+    # Right-size the loop's shuffle width to the edge count: the label
+    # rounds run over the (usually tiny, always <= input) edge list, and
+    # default shuffle partitions would pay scheduling overhead per round
+    # out of all proportion to the data.
+    n_part = max(1, min(raw_sym.sparkSession.sparkContext.defaultParallelism,
+                        n_sym // 100_000 + 1))
+    sym = raw_sym.repartition(n_part, "b")
+    sym.persist()
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    )
+    ).repartition(n_part, "node")
     labels.persist()
     labels.count()
+    raw_sym.unpersist()
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -71,6 +87,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    # The final labels stay persisted (one narrow row per clustered node)
-    # so consuming the result doesn't re-run the whole fixpoint lineage.
+    # The final labels stay persisted (one narrow row per clustered node,
+    # already materialized by the convergence count) so consuming the
+    # result doesn't re-run the whole fixpoint lineage.
+    sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
