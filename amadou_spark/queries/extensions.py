@@ -629,3 +629,100 @@ def q15c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_flag, g_status, l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "q57_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(ts) AS c_ts
+            FROM events e JOIN v USING (user_id)
+            WHERE event_type = 'click'
+              AND ts > v_ts AND ts <= v_ts + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(ts) AS p_ts
+            FROM events e JOIN c USING (user_id)
+            WHERE event_type = 'purchase'
+              AND ts > c_ts AND ts <= c_ts + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase
+    """,
+    description="conversion funnel (view → click-within-24h → "
+    "purchase-within-24h): each stage is a user-keyed MIN aggregate joined "
+    "to the previous stage — every shuffle is on user_id so all three "
+    "stages co-partition after the first exchange; the stage tables shrink "
+    "monotonically, and the final counts are single-row aggregates",
+)
+def q57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    ev = t["events"]
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+@query(
+    "q58_cohort_retention",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT cohort_week, active_week, count(*) AS n_users
+        FROM activity JOIN first_seen USING (user_id)
+        GROUP BY cohort_week, active_week
+        ORDER BY cohort_week, active_week
+    """,
+    description="cohort retention matrix (cohort = ISO week of first event; "
+    "one row per cohort-week × active-week with surviving-user counts): "
+    "first-seen and distinct-activity are both user-keyed aggregates that "
+    "share one exchange; the retention join is user-keyed (co-partitioned) "
+    "and the matrix aggregate is tiny by construction",
+)
+def q58_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    ev = t["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "active_week")
+    )
