@@ -726,3 +726,80 @@ def q58_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "active_week")
     )
+
+
+@query(
+    "q59_resample_gapfill",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   ROUND(SUM(value), 2) AS v
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ), bounds AS (
+            SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY user_id
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ), joined AS (
+            SELECT g.user_id, g.hour, h.v,
+                   (h.v IS NOT NULL) AS is_observed
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.hour = h.hour
+        ), filled AS (
+            SELECT user_id, hour, is_observed,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+            FROM joined
+        )
+        SELECT user_id, hour, v_filled, is_observed
+        FROM filled
+        WHERE hour >= TIMESTAMP '2024-01-10 00:00:00'
+          AND hour <  TIMESTAMP '2024-01-17 00:00:00'
+        ORDER BY user_id, hour
+    """,
+    description="time-series resampling with gap fill: per-user hourly grid "
+    "(sequence + explode, map-side fan-out) left-joined to observed hourly "
+    "sums, gaps forward-filled with last(ignorenulls) — the grid join and "
+    "the fill window share ONE user_id exchange; the fill is computed over "
+    "each user's full history, then a fixed week is emitted so output "
+    "volume stays bounded at any SF",
+)
+def q59_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id", "hour", "v", F.col("v").isNotNull().alias("is_observed")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .filter(
+            (F.col("hour") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("hour") < F.lit("2024-01-17 00:00:00").cast("timestamp"))
+        )
+        .select("user_id", "hour", "v_filled", "is_observed")
+        .orderBy("user_id", "hour")
+    )

@@ -1135,3 +1135,87 @@ def llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     packed = pack_sequences(t["documents"], budget=256, n_shards=32)
     return packed.withColumnRenamed("offset", "seq_offset").orderBy("doc_id")
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), ok AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT id_a, id_b FROM common
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+        ), sym AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ), walk AS (
+            SELECT a AS src, b AS node FROM sym
+            UNION
+            SELECT w.src, s.b FROM walk w JOIN sym s ON w.node = s.a
+        ), members AS (
+            SELECT src AS doc_id, LEAST(src, MIN(node)) AS cluster_id
+            FROM walk GROUP BY src
+        ), scored AS (
+            SELECT m.cluster_id, m.doc_id, d.n_chars
+            FROM members m JOIN documents d USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS keep_id, n_members
+        FROM (
+            SELECT cluster_id, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM scored
+        ) WHERE rn = 1
+        ORDER BY cluster_id
+    """,
+    description="canonical-document selection: near-dup clusters (connected "
+    "components over the 3-gram-Jaccard>=0.5 graph) reduced to ONE keep-id "
+    "per cluster by longest-text argmax (ties broken by min doc_id) — the "
+    "final act of the dedup pipeline: pairs → clusters → survivors. The "
+    "argmax is a row_number window over the tiny clustered subset, never "
+    "the corpus",
+)
+def llm_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.operators.graph import connected_components
+
+    t = register_tables(spark, sf_dir)
+    edges = ngram_jaccard_pairs(
+        t["documents"], min_jaccard=0.5, max_shingle_freq=1000
+    ).select("id_a", "id_b")
+    members = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    scored = members.join(
+        t["documents"].select("doc_id", "n_chars"), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(W.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_id"), "n_members")
+        .orderBy("cluster_id")
+    )
