@@ -35,58 +35,68 @@ def connected_components(
     cluster_id is the minimum node id in the node's connected
     component. Nodes with no edges are absent (callers union
     singletons back if they want total coverage)."""
-    # Cache the directed edge list FIRST: the symmetric union below reads
-    # it twice, and without the cache each read re-runs the (possibly
-    # expensive) upstream pair-generation lineage — e.g. a shingle
-    # self-join — from scratch.
+    # Materialize the directed edge list BEFORE the symmetric union reads
+    # it twice: persist alone is not enough — the union's two branches can
+    # run concurrently in one job, each missing the still-empty cache and
+    # re-running the (possibly expensive) upstream pair-generation lineage,
+    # e.g. a shingle self-join. The count also gives the edge cardinality
+    # that sizes the loop's shuffle width.
     directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     directed.persist()
-    raw_sym = directed.union(
-        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    raw_sym.persist()
-    n_sym = raw_sym.count()
-    directed.unpersist()
+    n_edges = directed.count()
     # Right-size the loop's shuffle width to the edge count: the label
-    # rounds run over the (usually tiny, always <= input) edge list, and
-    # default shuffle partitions would pay scheduling overhead per round
-    # out of all proportion to the data.
-    n_part = max(1, min(raw_sym.sparkSession.sparkContext.defaultParallelism,
-                        n_sym // 100_000 + 1))
-    sym = raw_sym.repartition(n_part, "b")
+    # rounds run over the (usually tiny, always <= 2x input) edge list,
+    # and default shuffle partitions would pay scheduling overhead per
+    # round out of all proportion to the data.
+    spark = directed.sparkSession
+    n_part = max(1, min(spark.sparkContext.defaultParallelism,
+                        n_edges // 50_000 + 1))
+    sym = directed.union(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().repartition(n_part, "b")
     sym.persist()
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).repartition(n_part, "node")
     labels.persist()
     labels.count()
-    raw_sym.unpersist()
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("_nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
-                ).alias("label"),
+    directed.unpersist()
+    # AQE's per-exchange query-stage materialization adds whole jobs to
+    # every round of this already-explicitly-partitioned loop; switch it
+    # off for the fixpoint and restore afterwards. (At scale the loop's
+    # width is set from the real edge count above, which is the decision
+    # AQE would be making.)
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_before = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("label").alias("_nbr"))
             )
-        )
-        new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            # Keep the previous label alongside the new one so convergence
+            # is a filter-count on this same DataFrame — not a third join.
+            stepped = (
+                labels.select("node", F.col("label").alias("_old"))
+                .join(nbr_min, F.col("node") == F.col("a"), "left")
+                .select(
+                    "node",
+                    "_old",
+                    F.least(
+                        F.col("_old"), F.coalesce(F.col("_nbr"), F.col("_old"))
+                    ).alias("label"),
+                )
+            )
+            stepped.persist()
+            changed = stepped.filter(F.col("label") != F.col("_old")).count()
+            labels.unpersist()
+            labels = stepped
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(aqe_key, aqe_before)
     # The final labels stay persisted (one narrow row per clustered node,
     # already materialized by the convergence count) so consuming the
     # result doesn't re-run the whole fixpoint lineage.
