@@ -46,14 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     contract = TPCH_TABLES.get(name)
     if contract is not None:
         actual = {f.name: f.dataType for f in df.schema.fields}
-        fixes = [
-            f.name
-            for f in contract.fields
-            if isinstance(f.dataType, T.TimestampType)
-            and isinstance(actual.get(f.name), T.LongType)
-        ]
-        for col in fixes:
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        for f in contract.fields:
+            if not isinstance(f.dataType, T.TimestampType):
+                continue
+            got = actual.get(f.name)
+            if isinstance(got, T.LongType):
+                df = df.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                )
+            elif isinstance(got, T.TimestampNTZType):
+                # parquet timestamp[us] with isAdjustedToUTC=false infers
+                # as TIMESTAMP_NTZ; the session runs in UTC so casting to
+                # TIMESTAMP is an exact reinterpretation, not a shift.
+                df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 

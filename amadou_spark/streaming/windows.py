@@ -21,33 +21,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Raw parquet schema of events (ts is TIMESTAMP(NANOS) → read as long).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a stream.
 
-    FileStreamSource requires a directory-resolvable path, so the exact
-    file is matched with a one-character glob (`events.parque[t]`).
-    The nanos→µs conversion matches amadou_spark.catalog.load_table.
+    FileStreamSource requires an explicit schema and a
+    directory-resolvable path, so the exact file is matched with a
+    one-character glob (`events.parque[t]`). The schema is taken from a
+    batch footer read of the same file rather than hard-coded: the
+    testdata's `ts` column has shipped both as TIMESTAMP(NANOS) (read
+    as long under nanosAsLong, then rebuilt) and as plain
+    timestamp[us] — the stream must follow whichever the file has,
+    matching amadou_spark.catalog.load_table.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    exact = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(exact).schema
     path = f"{sf_dir.rstrip('/')}/events.parque[t]"
-    return (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(schema).parquet(path)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # withWatermark requires TIMESTAMP (with tz); the session runs
+        # in UTC so this cast is an exact reinterpretation, not a shift.
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
 
 
 def run_stream_to_table(
