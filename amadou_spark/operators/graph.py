@@ -69,6 +69,15 @@ def connected_components(
     aqe_key = "spark.sql.adaptive.enabled"
     aqe_before = spark.conf.get(aqe_key, "true")
     spark.conf.set(aqe_key, "false")
+    # With AQE off, every join/groupBy inside the loop would shuffle to
+    # the session-wide spark.sql.shuffle.partitions (tuned for batch
+    # scans, e.g. 32) regardless of the explicit n_part repartitions
+    # above — paying 32 tasks × ~4 stages × rounds of scheduling for a
+    # loop whose data fits n_part partitions. Pin the width to n_part
+    # for the fixpoint and restore afterwards.
+    shuf_key = "spark.sql.shuffle.partitions"
+    shuf_before = spark.conf.get(shuf_key)
+    spark.conf.set(shuf_key, str(n_part))
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -97,6 +106,7 @@ def connected_components(
                 break
     finally:
         spark.conf.set(aqe_key, aqe_before)
+        spark.conf.set(shuf_key, shuf_before)
     # The final labels stay persisted (one narrow row per clustered node,
     # already materialized by the convergence count) so consuming the
     # result doesn't re-run the whole fixpoint lineage.

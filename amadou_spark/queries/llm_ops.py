@@ -634,43 +634,39 @@ def llm_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "most-similar pairs",
 )
 def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from amadou_spark.llm.similarity import _dot_pd_udf
+    import numpy as np
+    import pandas as pd
 
-    dot_pd = _dot_pd_udf()
     t = register_tables(spark, sf_dir)
-    a = t["embeddings"].select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = t["embeddings"].select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    # explicit repartition before scoring: the pair rows are tiny in
-    # BYTES but heavy in per-row compute (64-dim dot), so AQE's
-    # byte-based coalescing would squeeze them onto 1-2 tasks; an
-    # explicit numPartitions is exempt from AQE coalescing
-    pairs = (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .repartition(64, "id_a")
-    )
-    # Arrow-batched einsum for the pair dot products; norms per pair are
-    # fine here (each row is a distinct (a,b) pair anyway)
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot_pd(F.col("va"), F.col("vb"))
-                / (
-                    F.sqrt(dot_pd(F.col("va"), F.col("va")))
-                    * F.sqrt(dot_pd(F.col("vb"), F.col("vb")))
-                ),
-                6,
-            ).alias("cosine"),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"id_a": ids[iu], "id_b": ids[ju], "cosine": np.round(cos[iu, ju], 6)}
         )
-        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
-        .limit(100)
+
+    # One applyInPandas call per BLOCK: the vectors cross the JVM↔Python
+    # boundary once each (linear in corpus size, shuffled by block key),
+    # and the quadratic pairwise work happens as a single BLAS matmul
+    # inside numpy — pair rows carry only (id_a, id_b, cosine) scalars,
+    # never the vectors. A pair-join formulation instead ships TWO
+    # vectors per pair through Arrow (~1 KB/row × O(n·block) rows), which
+    # dwarfs the dot-product cost. Block size is bounded by the blocking
+    # key (sub-block via LSH/IVF bucket ids when a natural key is
+    # missing or a block outgrows executor memory).
+    pairs = (
+        t["embeddings"]
+        .select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInPandas(block_pairs, "id_a bigint, id_b bigint, cosine double")
     )
+    return pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(100)
 
 
 # ---------------------------------------------------------------- decontamination / quality
