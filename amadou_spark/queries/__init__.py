@@ -105,7 +105,9 @@ def _load() -> None:
         return
     from amadou_spark.queries import (  # noqa: F401
         extensions,
+        layout,
         llm_ops,
+        sketches,
         tier_a,
         tier_b,
         tpch_more,

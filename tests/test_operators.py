@@ -136,3 +136,128 @@ class TestScd2:
         twice = scd2_merge(once, updates, "k", ["name", "city"], "2024-07-01")
         # second apply of the SAME values changes nothing (no new version)
         assert once.count() == twice.count()
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_cms_never_underestimates_and_is_tight(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.sketch import cms_counters, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    counters = cms_counters(events, "user_id")
+    cand = events.filter("user_id < 40")
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(counters, cand, "user_id").collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in events.filter("user_id < 40")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    n_total = events.count()
+    for k, e in est.items():
+        assert e >= exact[k], f"CMS underestimated key {k}"
+        # classic CM bound: overestimate <= 2N/width with high prob
+        assert e - exact[k] <= 2 * n_total / 1024 + 1
+
+
+def test_cms_merge_equals_single_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.sketch import cms_counters, cms_merge
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") % 2 == 0)
+    right = events.filter(F.col("event_id") % 2 == 1)
+    merged = cms_merge(cms_counters(left, "user_id"), cms_counters(right, "user_id"))
+    single = cms_counters(events, "user_id")
+    assert _rows(merged, ["d", "bucket", "n"]) == _rows(single, ["d", "bucket", "n"])
+
+
+def test_hll_rolling_estimates_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.sketch import hll_daily, hll_rolling_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    out = {
+        (r["day"].isoformat() if r["day"] else None): r["approx_users"]
+        for r in hll_rolling_estimate(hll_daily(events)).collect()
+    }
+    exact_days = {
+        r["day"].isoformat(): r["n"]
+        for r in events.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = events.select("user_id").distinct().count()
+    assert set(out) == set(exact_days) | {None}
+    for day, n in exact_days.items():
+        assert abs(out[day] - n) <= max(3, 0.05 * n), (day, out[day], n)
+    assert abs(out[None] - exact_total) <= max(3, 0.05 * exact_total)
+
+
+# ---------------------------------------------------------------- z-order layout
+
+
+def test_zorder_write_tightens_file_ranges_on_both_columns(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.layout import grid_cell, write_zordered, zvalue
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_partkey").alias("mn_p"), F.max("l_partkey").alias("mx_p"),
+        F.min("l_suppkey").alias("mn_s"), F.max("l_suppkey").alias("mx_s"),
+    )
+    with_cells = li.crossJoin(F.broadcast(bounds))
+    z = zvalue(
+        [
+            grid_cell(F.col("l_partkey"), F.col("mn_p"), F.col("mx_p")),
+            grid_cell(F.col("l_suppkey"), F.col("mn_s"), F.col("mx_s")),
+        ]
+    )
+
+    zpath, spath = str(tmp_path / "zordered"), str(tmp_path / "singlesort")
+    write_zordered(with_cells.select("l_orderkey", "l_partkey", "l_suppkey", "mn_p", "mx_p", "mn_s", "mx_s"), zpath, z, n_files=8)
+    # baseline: classic single-column sort layout
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def mean_rel_range(path: str, col: str) -> float:
+        import glob
+
+        files = glob.glob(f"{path}/*.parquet")
+        assert len(files) >= 4
+        stats = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            f_lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            f_hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            stats.append((f_lo, f_hi))
+        g_lo = min(s[0] for s in stats)
+        g_hi = max(s[1] for s in stats)
+        return sum((hi - lo) for lo, hi in stats) / len(stats) / max(1, g_hi - g_lo)
+
+    # single-col sort: partkey tight, suppkey spans ~full domain per file
+    assert mean_rel_range(spath, "l_partkey") < 0.35
+    assert mean_rel_range(spath, "l_suppkey") > 0.8
+    # z-order: BOTH columns substantially narrower than full domain
+    assert mean_rel_range(zpath, "l_partkey") < 0.6
+    assert mean_rel_range(zpath, "l_suppkey") < 0.6
