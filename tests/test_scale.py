@@ -70,3 +70,38 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When the dim side of a shuffle join is selectively filtered,
+    Catalyst injects a bloom filter on the fact side (fact rows that
+    can't match are dropped BEFORE the shuffle) — the shuffle-join
+    analog of broadcast pruning, and a first-order win at 100 TB where
+    the fact side dwarfs every dim. Pinned here so a conf regression
+    can't silently lose it."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # thresholds are tuned for real clusters (10 GB app-side scan);
+        # lower them so the sf0.001 fixture qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        fact = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        joined = fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -122,3 +122,57 @@ def test_watermark_append_mode_semantics(spark, tmp_path):
     assert len(starts) == len(set(starts))
     # 11:00 is still ahead of the watermark -> not finalized
     assert not any(w == "11:00" for w, _ in emitted)
+
+
+# ---------------------------------------------------------------- foreachBatch upsert
+
+
+def test_foreachbatch_upsert_last_writer_wins_and_resumes(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from amadou_spark.streaming.sinks import run_stream_upsert
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # two input files -> forced into separate micro-batches
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k INT, ver INT, payload STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(2, 20, "b2"), (3, 10, "c")], "k INT, ver INT, payload STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k INT, ver INT, payload STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_upsert(stream, table, ["k"], ckpt)
+
+    rows = {r.k: (r.ver, r.payload) for r in spark.read.parquet(table).collect()}
+    assert rows == {1: (10, "a"), 2: (20, "b2"), 3: (10, "c")}
+
+    # restart with the same checkpoint and no new input: no-op resume
+    stream2 = (
+        spark.readStream.schema("k INT, ver INT, payload STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_upsert(stream2, table, ["k"], ckpt)
+    rows2 = {r.k: (r.ver, r.payload) for r in spark.read.parquet(table).collect()}
+    assert rows2 == rows
+
+    # a later file updates one key only
+    spark.createDataFrame(
+        [(1, 30, "a3")], "k INT, ver INT, payload STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream3 = (
+        spark.readStream.schema("k INT, ver INT, payload STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_upsert(stream3, table, ["k"], ckpt)
+    rows3 = {r.k: (r.ver, r.payload) for r in spark.read.parquet(table).collect()}
+    assert rows3 == {1: (30, "a3"), 2: (20, "b2"), 3: (10, "c")}
