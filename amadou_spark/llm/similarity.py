@@ -392,21 +392,40 @@ def cosine_topk_ivf(
         .filter(F.col("c_rank") <= n_probe)
         .select("query_id", "qvec", "qnrm", "list_id")
     )
-    # probe: equi-join on list_id — only n_probe lists of the corpus per
-    # query. Explicit repartition before scoring: candidate rows are tiny
-    # in bytes but heavy in per-row compute, and AQE's byte-based
-    # coalescing would otherwise squeeze them onto one task.
-    scored = (
-        q_lists.join(assigned.select("vid", "vec", "nrm", "list_id"), "list_id")
-        .filter(F.col("query_id") != F.col("vid"))
-        .repartition(64, "query_id")
-        .select(
-            "query_id",
-            F.col("vid").alias("neighbor_id"),
-            F.round(
-                dot_pd(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6
-            ).alias("cosine"),
+    # probe: COGROUPED on list_id — each probed list scores its queries
+    # against its members as ONE numpy matmul (cogroup.applyInPandas).
+    # Vectors cross the JVM↔Python boundary once per (list, side), not
+    # once per candidate pair: a pair-join with a per-row dot UDF ships
+    # ~1 KB of vectors per candidate through Arrow, which dominates the
+    # arithmetic. Lists partition the corpus, so no dedup is needed.
+    def score_list(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or mpdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        qm = np.asarray(qpdf["qvec"].tolist(), dtype=np.float64)
+        mm = np.asarray(mpdf["vec"].tolist(), dtype=np.float64)
+        cos = (qm @ mm.T) / np.outer(
+            qpdf["qnrm"].to_numpy(), mpdf["nrm"].to_numpy()
         )
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qpdf["query_id"].to_numpy(), len(mpdf)),
+                "neighbor_id": np.tile(mpdf["vid"].to_numpy(), len(qpdf)),
+                "cosine": cos.ravel(),
+            }
+        )
+        return out[out["query_id"] != out["neighbor_id"]]
+
+    scored = (
+        q_lists.groupby("list_id")
+        .cogroup(assigned.select("vid", "vec", "nrm", "list_id").groupby("list_id"))
+        .applyInPandas(
+            score_list, "query_id bigint, neighbor_id bigint, cosine double"
+        )
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
