@@ -177,6 +177,37 @@ def b03_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b03_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract_string(props, '$.absent') AS BIGINT) AS absent
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        ORDER BY event_id
+    """,
+    description="Spark 4 VariantType path: parse_json(props) -> binary "
+    "variant -> variant_get typed extraction (+ try_variant_get for a "
+    "missing path). Variant keeps semi-structured data in a shredded "
+    "binary encoding so repeated path extraction skips re-tokenizing "
+    "the JSON text — the idiomatic Spark-4 answer to schemaless "
+    "columns; oracle = plain JSON extraction of the same paths",
+)
+def b03_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.absent", "bigint").alias("absent"),
+        )
+        .filter(F.col("k") >= 50)
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------- B04 UDFs
 
 @query(

@@ -99,3 +99,24 @@ def test_metrics_per_task_io_counters(spark, sf_dir):
         "shuffle_bytes_read",
         "shuffle_bytes_written",
     }
+
+
+def test_observed_counters_ride_the_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amadou_spark.catalog import load_table
+    from amadou_spark.metrics import observed
+
+    orders = load_table(spark, sf_dir, "orders")
+    df, obs = observed(
+        orders.filter(F.col("o_totalprice") > 0),
+        "probe",
+        n=F.count(F.lit(1)),
+        total=F.round(F.sum("o_totalprice"), 2),
+    )
+    out = df.groupBy("o_orderpriority").count()
+    n_groups = out.count()  # the action that materializes the metrics
+    got = obs.get
+    assert got["n"] == orders.filter(F.col("o_totalprice") > 0).count()
+    assert got["total"] > 0
+    assert n_groups > 0
