@@ -803,3 +803,48 @@ def q59_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "hour", "v_filled", "is_observed")
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "q63_kl_drift",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), day_tot AS (
+            SELECT day, sum(n) AS dn FROM daily GROUP BY day
+        ), gfreq AS (
+            SELECT event_type, count(*) AS gn FROM events GROUP BY event_type
+        ), gtot AS (SELECT sum(gn) AS g FROM gfreq)
+        SELECT day,
+               ROUND(SUM((n / dn) * LN((n / dn) / (gn / g))), 6) AS kl
+        FROM daily JOIN day_tot USING (day)
+                   JOIN gfreq USING (event_type)
+                   CROSS JOIN gtot
+        GROUP BY day
+        ORDER BY day
+    """,
+    description="distribution-drift monitor: KL(P_day || P_global) of the "
+    "event-type mix per day — the data-quality alarm a production feed "
+    "runs continuously. Two tiny aggregates (day x type, type) off one "
+    "scan lineage; the global distribution broadcasts into the per-day "
+    "sum. Zero-count day/type cells drop out of the sum (0*ln0 = 0 by "
+    "convention, and absent pairs simply produce no row)",
+)
+def q63_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    ev = t["events"].select(F.col("ts").cast("date").alias("day"), "event_type")
+    daily = ev.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    day_tot = daily.groupBy("day").agg(F.sum("n").alias("dn"))
+    glob = ev.groupBy("event_type").agg(F.count("*").alias("gn"))
+    gtot = glob.agg(F.sum("gn").alias("g"))
+    p = F.col("n") / F.col("dn")
+    q = F.col("gn") / F.col("g")
+    return (
+        daily.join(day_tot, "day")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("day")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+        .orderBy("day")
+    )

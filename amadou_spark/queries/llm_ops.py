@@ -1215,3 +1215,47 @@ def llm_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", F.col("doc_id").alias("keep_id"), "n_members")
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "llm_quality_unigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), freq AS (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ), tot AS (SELECT sum(n) AS total FROM freq)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-LN(n / total)), 4) AS avg_neg_logprob
+        FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    description="unigram language-model quality score: corpus token "
+    "frequencies (one groupBy of hashed-size vocab) -> per-doc mean "
+    "negative log-probability, the classic cheap fluency/outlier filter "
+    "(gibberish and boilerplate both light up). The frequency table is "
+    "vocabulary-sized -> broadcast into the scoring join; the corpus "
+    "is scanned twice but shuffled ZERO times on doc text",
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

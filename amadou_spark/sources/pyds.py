@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -92,6 +97,51 @@ class SyntheticReader(DataSourceReader):
             )
 
 
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """The STREAMING face of the same generator: offsets are row
+    indices; each micro-batch serves up to ``batch_rows`` rows and
+    advances the offset, exhausting at ``rows``. `readBetweenOffsets`
+    replays any committed range deterministically — that replayability
+    is the whole recovery contract (a checkpoint restart re-reads the
+    uncommitted range and gets identical rows).
+
+    The Simple reader API prefetches on the DRIVER (no partition
+    planning) — right for low-throughput control/config feeds; a
+    high-volume stream implements DataSourceStreamReader with
+    executor-side partitions instead."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batchRows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _gen(self, lo: int, hi: int):
+        # a LIST iterator, not a generator: the prefetch cache both
+        # pickles the iterator (generators can't be) and calls next()
+        # on it to validate emptiness (bare lists can't be)
+        rows = [
+            (
+                i,
+                h % 1000,
+                SyntheticReader._KINDS[(h >> 10) % 3],
+                round((h >> 16) % 10_000 / 100.0, 2),
+            )
+            for i in range(lo, hi)
+            for h in (SyntheticReader._mix(i + 1),)
+        ]
+        return iter(rows)
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return self._gen(lo, hi), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._gen(start["index"], end["index"])
+
+
 class SyntheticSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -104,6 +154,9 @@ class SyntheticSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SyntheticStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -53,3 +53,30 @@ def test_reader_partition_math():
     parts = r.partitions()
     assert [(p.start, p.end) for p in parts] == [(0, 4), (4, 8), (8, 10)]
     assert sum(e - s for _, s, e in ((p.part_id, p.start, p.end) for p in parts)) == 10
+
+
+def test_stream_reader_serves_all_rows_in_batches(spark, tmp_path):
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic")
+        .option("rows", 450)
+        .option("batchRows", 200)
+        .load()
+    )
+    # availableNow snapshots only the FIRST prefetched range for simple
+    # stream readers; processAllAvailable drains until read() stops
+    # advancing the offset
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("synth_stream")
+    assert got.count() == 450
+    # identical rows to the batch read of the same generator
+    batch = spark.read.format("synthetic").option("rows", 450).load()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    spark.catalog.dropTempView("synth_stream")

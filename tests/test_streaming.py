@@ -176,3 +176,55 @@ def test_foreachbatch_upsert_last_writer_wins_and_resumes(spark, tmp_path):
     run_stream_upsert(stream3, table, ["k"], ckpt)
     rows3 = {r.k: (r.ver, r.payload) for r in spark.read.parquet(table).collect()}
     assert rows3 == {1: (30, "a3"), 2: (20, "b2"), 3: (10, "c")}
+
+
+# ---------------------------------------------------------------- transformWithState
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from amadou_spark.catalog import load_table
+    from amadou_spark.streaming.stateful import protobuf_available, running_totals_stream
+
+    if not protobuf_available():
+        pytest.skip("transformWithState needs google.protobuf (absent in image)")
+
+    events = load_table(spark, sf_dir, "events").filter("user_id < 20")
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches: state must carry across batches
+    events.filter("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "twstate_out"
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table(name).toPandas()
+    # latest emission per user = the max running count for that user
+    latest = out.sort_values("n_events").groupby("user_id").last()
+    exact = {
+        r["user_id"]: (r["n"], round(r["t"], 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert len(latest) == len(exact)
+    for uid, row in latest.iterrows():
+        n, t = exact[uid]
+        assert row["n_events"] == n, uid
+        assert abs(row["total_value"] - t) < 0.05, uid
+    spark.catalog.dropTempView(name)
