@@ -78,6 +78,16 @@ def connected_components(
     shuf_key = "spark.sql.shuffle.partitions"
     shuf_before = spark.conf.get(shuf_key)
     spark.conf.set(shuf_key, str(n_part))
+    # Whole-stage codegen compiles fresh generated classes for every
+    # round's (join, agg, project) stages — ~100 ms of janino per stage,
+    # paid once per ROUND here because each round is a new plan. The
+    # loop's stages are narrow and tiny; interpreted evaluation is
+    # cheaper than compiling (measured ~2 s off the sf0.1 fixpoint).
+    # Restored afterwards — scans and wide batch stages outside the
+    # loop want codegen.
+    cg_key = "spark.sql.codegen.wholeStage"
+    cg_before = spark.conf.get(cg_key, "true")
+    spark.conf.set(cg_key, "false")
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -107,6 +117,7 @@ def connected_components(
     finally:
         spark.conf.set(aqe_key, aqe_before)
         spark.conf.set(shuf_key, shuf_before)
+        spark.conf.set(cg_key, cg_before)
     # The final labels stay persisted (one narrow row per clustered node,
     # already materialized by the convergence count) so consuming the
     # result doesn't re-run the whole fixpoint lineage.
