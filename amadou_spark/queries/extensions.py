@@ -848,3 +848,45 @@ def q63_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
         .orderBy("day")
     )
+
+
+@query(
+    "q64_histogram",
+    oracle="""
+        WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                   FROM orders)
+        SELECT LEAST(19, CAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)) AS INT))
+                   AS bin,
+               count(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS bin_min,
+               ROUND(MAX(o_totalprice), 2) AS bin_max
+        FROM orders CROSS JOIN b
+        GROUP BY 1 ORDER BY bin
+    """,
+    description="equal-width histogram (20 bins over [min, max]) of order "
+    "totals: bounds from one broadcast min/max aggregate, bin assignment "
+    "as a pure projection, ONE 20-group aggregate — the profiling "
+    "primitive behind range-partition planning and skew diagnosis",
+)
+def q64_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    o = t["orders"]
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binned = o.select("o_totalprice").crossJoin(F.broadcast(b)).select(
+        "o_totalprice",
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo")) * 20 / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )

@@ -1259,3 +1259,73 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dedup_levenshtein",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), ok AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT id_a, id_b FROM common
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.3
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+               ROUND(1.0 - levenshtein(da.text, db.text)
+                         / GREATEST(len(da.text), len(db.text)), 6) AS edit_sim
+        FROM cand
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        ORDER BY id_a, id_b
+    """,
+    description="edit-distance VERIFICATION of near-dup candidates: "
+    "Levenshtein runs only on pairs the 3-gram-Jaccard blocking already "
+    "surfaced (O(len_a x len_b) per pair is unpayable corpus-wide, fine "
+    "on a candidate set) - the standard two-stage fuzzy-match design: "
+    "cheap blocking, exact-but-costly verify",
+)
+def llm_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.dedup import ngram_jaccard_pairs
+
+    t = register_tables(spark, sf_dir)
+    cand = ngram_jaccard_pairs(
+        t["documents"], min_jaccard=0.3, max_shingle_freq=1000
+    ).select("id_a", "id_b")
+    da = t["documents"].select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    db = t["documents"].select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(
+                1.0 - dist / F.greatest(F.length("ta"), F.length("tb")), 6
+            ).alias("edit_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
