@@ -105,6 +105,7 @@ def _load() -> None:
         return
     from amadou_spark.queries import (  # noqa: F401
         extensions,
+        frontier,
         layout,
         llm_ops,
         sketches,

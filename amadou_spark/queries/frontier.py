@@ -1,0 +1,200 @@
+"""Frontier SQL surfaces: recursive CTEs, XML round-trips, Python
+UDTFs, and correlated LATERAL subqueries.
+
+These complete the query-language surface beyond the reference's own
+corpus (the reference's Scala jobs compose plain DataFrame ops —
+``core/src/main/scala`` has no recursive/lateral SQL), but a user
+migrating arbitrary analytics onto this engine hits each of them:
+
+- recursive CTE (Spark 4.1 ``WITH RECURSIVE``) — bounded iteration
+  expressed declaratively; the canonical use is a date spine that
+  gap-fills sparse aggregates (months with zero orders still appear).
+- XML ingest/egress (`to_xml`/`from_xml`, built-in since Spark 4.0) —
+  schema-on-read over an XML payload column, same contract as the
+  JSON/Variant queries in tier_b.
+- Python UDTF — the table-function surface: one input row fans out to
+  N output rows with Python logic. Slow path by contract (per-row
+  Python, like b04_python_udf); anything hot should be an explode +
+  JVM aggregate instead (b01_explode_tokens shows that plan).
+- LATERAL correlated subquery with LIMIT — per-group top-k written the
+  way an analyst writes it; Catalyst rewrites it to a
+  DomainJoin/window plan rather than re-scanning per outer row.
+
+Scale notes: the recursive CTE's recursion is a 12-row spine — the
+heavy side (orders) is a single scan + partial agg; the spine join
+broadcasts. The UDTF query bounds its input (doc_id < 100) because
+the op exists to pin the surface, not to be a hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from amadou_spark.catalog import register_tables
+from amadou_spark.queries import query
+
+_MONTH_SPINE_SQL = """
+    WITH RECURSIVE spine(i) AS (
+        SELECT 0
+        UNION ALL
+        SELECT i + 1 FROM spine WHERE i < 11
+    ),
+    months AS (
+        SELECT make_date(1995, i + 1, 1) AS month FROM spine
+    ),
+    mo AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders,
+               ROUND(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1
+    )
+    SELECT months.month,
+           COALESCE(mo.n_orders, 0) AS n_orders,
+           COALESCE(mo.total_price, 0.0) AS total_price
+    FROM months LEFT JOIN mo ON months.month = mo.month
+    ORDER BY months.month
+"""
+
+
+@query(
+    "q63_recursive_cte",
+    oracle=_MONTH_SPINE_SQL,
+    description="WITH RECURSIVE month spine gap-filling monthly order "
+    "aggregates (months with no orders appear with zeros)",
+    tags=("sql", "recursive"),
+)
+def q63_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE date spine (Spark 4.1 `WITH RECURSIVE`).
+
+    The recursion generates a fixed 12-row integer spine; the orders
+    side is one scan + hash aggregate. At 100 TB the spine is
+    broadcast to the (already partial-aggregated, ≤12-row-per-task)
+    fact side — recursion depth never scales with data.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_MONTH_SPINE_SQL)
+
+
+@query(
+    "q64_xml_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation
+        ORDER BY n_nationkey
+    """,
+    description="to_xml -> from_xml round-trip over nation: serialize "
+    "each row to an XML payload, parse it back schema-on-read, and "
+    "project the parsed fields (hash-checked against the direct scan)",
+    tags=("xml", "spark4"),
+)
+def q64_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML payload-column ingest via Spark 4 built-in `from_xml`.
+
+    Mirrors the b03 JSON / Variant contract: an opaque string column
+    carrying XML is parsed with an explicit schema; Catalyst prunes
+    unreferenced parsed fields. Serialize-then-parse makes the query
+    self-contained on TPC-H tables while the oracle checks the parsed
+    values equal the source row exactly.
+    """
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    xml = t["nation"].select(
+        F.to_xml(F.struct("n_nationkey", "n_name", "n_regionkey")).alias("payload")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "payload", "n_nationkey INT, n_name STRING, n_regionkey INT"
+        ).alias("row")
+    )
+    return parsed.select("row.*").orderBy("n_nationkey")
+
+
+_UDTF_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 100
+    ), cnt AS (
+        SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok
+    ), rk AS (
+        SELECT doc_id, tok, n,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rank
+        FROM cnt
+    )
+    SELECT doc_id, tok, n, rank FROM rk WHERE rank <= 3
+    ORDER BY doc_id, rank
+"""
+
+
+@query(
+    "q65_python_udtf",
+    oracle=_UDTF_ORACLE,
+    description="Python UDTF (table function): top-3 tokens per document "
+    "via a LATERAL-joined generator, checked against a window-rank oracle",
+    tags=("udtf", "python", "spark4"),
+)
+def q65_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: one row in, top-3 token rows out.
+
+    This pins the UDTF *contract* (LATERAL join, multi-row yield,
+    typed output schema). It is per-row Python by design — the
+    JVM-side plan for the same semantics is b01_explode_tokens +
+    row_number; use that shape in hot paths.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, tok string, n bigint, rank bigint")
+    class TopWords:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            from collections import Counter
+
+            counts = Counter((text or "").split(" "))
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            for rank, (tok, n) in enumerate(top, 1):
+                yield doc_id, tok, n, rank
+
+    register_tables(spark, sf_dir)
+    spark.udtf.register("top_words", TopWords)
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.tok, f.n, f.rank
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100) d,
+             LATERAL top_words(d.doc_id, d.text) f
+        ORDER BY f.doc_id, f.rank
+        """
+    )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM nation n,
+         LATERAL (
+             SELECT c_custkey, c_acctbal
+             FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 2
+         ) c
+    ORDER BY n.n_name, acctbal DESC, c.c_custkey
+"""
+
+
+@query(
+    "q66_lateral_topk",
+    oracle=_LATERAL_SQL,
+    description="correlated LATERAL subquery with LIMIT: top-2 customers "
+    "by account balance per nation",
+    tags=("sql", "lateral"),
+)
+def q66_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via LATERAL (Spark lateral-join support).
+
+    Catalyst decorrelates the LIMITed subquery into a ranked window
+    over a single customer scan — not a re-scan per nation — so the
+    plan is one shuffle on c_nationkey regardless of nation count.
+    """
+    register_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
