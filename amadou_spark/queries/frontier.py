@@ -168,6 +168,69 @@ def q65_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q67_interval_join",
+    oracle="""
+        WITH iv AS (
+            SELECT event_id AS incident_id,
+                   ts AS start_ts,
+                   ts + INTERVAL 30 MINUTE AS end_ts
+            FROM events
+            WHERE event_type = 'error' AND value > 200
+        )
+        SELECT iv.incident_id,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users
+        FROM iv JOIN events e
+          ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        GROUP BY 1 ORDER BY 1
+    """,
+    description="point-in-interval range join: events falling inside "
+    "30-minute incident windows opened by high-value error events, "
+    "executed as a bucketed equi-join (operators/rangejoin.py), never "
+    "a nested-loop theta join",
+    tags=("rangejoin", "events"),
+)
+def q67_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time bucketing (see operators/rangejoin.py).
+
+    The theta formulation would be BroadcastNestedLoop; the bucketed
+    plan is a hash equi-join on a 30-min bucket id with the exact
+    bound as residual — linear, shuffle-partitioned, AQE-skew-safe.
+    """
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.rangejoin import interval_join
+
+    t = register_tables(spark, sf_dir)
+    events = t["events"]
+    incidents = (
+        events.where((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+    )
+    points = events.select("ts", F.col("user_id").alias("uid"))
+    joined = interval_join(
+        points,
+        incidents,
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_seconds=1800,
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("uid").alias("n_users"),
+        )
+        .orderBy("incident_id")
+    )
+
+
 _LATERAL_SQL = """
     SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
     FROM nation n,

@@ -261,3 +261,78 @@ def test_zorder_write_tightens_file_ranges_on_both_columns(spark, sf_dir, tmp_pa
     # z-order: BOTH columns substantially narrower than full domain
     assert mean_rel_range(zpath, "l_partkey") < 0.6
     assert mean_rel_range(zpath, "l_suppkey") < 0.6
+
+
+# ----------------------------------------------------------- range join
+
+
+def test_interval_join_equals_theta_join(spark, sf_dir):
+    """Bucketed plan must produce exactly the theta-join row multiset,
+    across bucket widths straddling the interval length (including a
+    width where every interval spans several buckets)."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    incidents = (
+        events.where((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("iid"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 47 MINUTES")).alias("end_ts"),
+        )
+    )
+    points = events.select(F.col("event_id").alias("pid"), "ts")
+    theta = (
+        points.join(
+            incidents,
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+        )
+    )
+    expect = _rows(theta, ["pid", "iid"])
+    assert len(expect) > 0
+    for w in (60, 1800, 2820, 7200):
+        got = interval_join(
+            points, incidents,
+            ts_col="ts", start_col="start_ts", end_col="end_ts",
+            bucket_seconds=w,
+        )
+        assert _rows(got, ["pid", "iid"]) == expect, f"bucket_seconds={w}"
+
+
+def test_interval_join_rejects_column_collision(spark, sf_dir):
+    import pytest as _pytest
+
+    from amadou_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    with _pytest.raises(ValueError, match="collision"):
+        interval_join(
+            events, events,
+            ts_col="ts", start_col="ts", end_col="ts", bucket_seconds=60,
+        )
+
+
+def test_interval_join_plan_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The entire point of the operator: the physical plan must be a
+    hash equi-join on the bucket id, never BroadcastNestedLoop or
+    CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    incidents = events.select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    out = interval_join(
+        events.select("ts"), incidents,
+        ts_col="ts", start_col="start_ts", end_col="end_ts",
+        bucket_seconds=1800,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
