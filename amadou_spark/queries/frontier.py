@@ -261,3 +261,89 @@ def q66_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q68_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description="per-user event-transition matrix (Markov bigrams): lag "
+    "window over (user_id, ts) then global pair counts",
+    tags=("events", "window"),
+)
+def q68_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence model input: P(next | prev) counts.
+
+    One shuffle on user_id for the lag window (per-user history is
+    bounded), then a partial-aggregated pair count — at 100 TB the
+    second agg carries at most |event_type|² rows per task.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "q69_skew_profile",
+    oracle="""
+        WITH k AS (
+            SELECT l_orderkey AS key, count(*) AS n
+            FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_keys,
+               sum(n) AS n_rows,
+               max(n) AS max_key_rows,
+               ROUND(quantile_cont(n, 0.5), 2) AS p50_key_rows,
+               ROUND(quantile_cont(n, 0.99), 2) AS p99_key_rows,
+               ROUND(max(n) * 1.0 * count(*) / sum(n), 4) AS max_over_avg
+        FROM k
+    """,
+    description="join-key skew diagnostic: per-key cardinality "
+    "distribution (count, max, p50/p99, max/avg ratio) for lineitem's "
+    "l_orderkey — the input to choosing salting / AQE skew thresholds",
+    tags=("profiling", "scale"),
+)
+def q69_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic that operationalizes scale.py's salting choice.
+
+    Two partial-aggregated passes (key counts, then distribution
+    stats); output is a single row however large the input.
+    """
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    k = t["lineitem"].groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.expr("percentile(n, 0.5)"), 2).alias("p50_key_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 2).alias("p99_key_rows"),
+        F.round(
+            F.max("n") * F.count("*") / F.sum("n"), 4
+        ).alias("max_over_avg"),
+    )
