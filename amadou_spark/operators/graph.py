@@ -123,3 +123,86 @@ def connected_components(
     # result doesn't re-run the whole fixpoint lineage.
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (node, rank).
+
+    Uses the classic simplified update (as in the original paper and
+    Spark's own examples): ``r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/out(u)``
+    — no dangling-mass redistribution, so feed a graph where every
+    node has out-degree ≥ 1 (e.g. a symmetrized bipartite graph).
+    Fixed ``n_iter`` (not convergence-tested) keeps the result
+    deterministic and SQL-expressible for the oracle.
+
+    Scale shape: each iteration is one shuffle join of the (static,
+    persisted, degree-annotated) edge list against the current ranks
+    plus a partial-aggregated sum per dst — identical cost profile to
+    the connected-components round. Ranks are persisted per round and
+    the previous round unpersisted, so lineage stays one-round deep.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e.persist()
+    n_edges = e.count()
+    spark = e.sparkSession
+    n_part = max(1, min(spark.sparkContext.defaultParallelism,
+                        n_edges // 50_000 + 1))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    withdeg = e.join(deg, "src").repartition(n_part, "src")
+    withdeg.persist()
+    withdeg.count()
+    e.unpersist()
+    nodes = withdeg.select(F.col("src").alias("node")).distinct()
+    nodes = nodes.repartition(n_part, "node")
+    nodes.persist()
+    n_nodes = nodes.count()
+
+    # Same loop hygiene as connected_components: AQE's per-exchange
+    # stage materialization, a batch-sized shuffle width, and per-round
+    # janino compilation all cost more than the tiny rounds themselves.
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(n_part),
+        "spark.sql.codegen.wholeStage": "false",
+    }
+    before = {k: spark.conf.get(k, "true") for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ranks.persist()
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                withdeg.join(ranks, withdeg["src"] == ranks["node"])
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            stepped = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            stepped.persist()
+            stepped.count()
+            ranks.unpersist()
+            ranks = stepped
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+    withdeg.unpersist()
+    nodes.unpersist()
+    return ranks

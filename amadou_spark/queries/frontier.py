@@ -305,6 +305,80 @@ def q68_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as portable SQL: one CTE per
+    iteration (recursive CTEs can't re-aggregate per step)."""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""it{i} AS (
+            SELECT nodes.node,
+                   (1 - {damping}) / nn.n + {damping} * COALESCE(c.s, 0) AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / e.outdeg) AS s
+                FROM withdeg e JOIN {prev} r ON e.src = r.node
+                GROUP BY 1
+            ) c ON c.node = nodes.node
+        )""")
+        prev = f"it{i}"
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                            'p' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem
+        ), edges AS (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        ), deg AS (
+            SELECT src, count(*) AS outdeg FROM edges GROUP BY 1
+        ), withdeg AS (
+            SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+        ), {', '.join(its)}
+        SELECT node, ROUND(rank * 1000, 6) AS rank_permille
+        FROM {prev} ORDER BY node
+    """
+
+
+@query(
+    "q70_pagerank",
+    oracle=_pagerank_oracle(),
+    description="fixed-iteration PageRank (3 rounds, d=0.85) over the "
+    "symmetrized supplier-part co-occurrence graph from lineitem — "
+    "iterative DataFrame joins in Spark, unrolled CTEs in the oracle",
+    tags=("graph", "iterative"),
+)
+def q70_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality beyond connected components (operators/graph.py).
+
+    Each round is one shuffle join of the persisted degree-annotated
+    edge list against current ranks + a partial-aggregated sum — the
+    same per-round cost shape as the CC fixpoint, O(n_iter) rounds.
+    """
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.graph import pagerank
+
+    t = register_tables(spark, sf_dir)
+    e0 = (
+        t["lineitem"]
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, n_iter=3, damping=0.85)
+    return pr.select(
+        "node", F.round(F.col("rank") * 1000, 6).alias("rank_permille")
+    ).orderBy("node")
+
+
 @query(
     "q69_skew_profile",
     oracle="""

@@ -336,3 +336,38 @@ def test_interval_join_plan_is_hash_join_not_nested_loop(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Spark loop must equal the dense numpy power iteration on a small
+    known graph (symmetrized, so no dangling nodes)."""
+    import numpy as np
+
+    from amadou_spark.operators.graph import pagerank
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    sym = pairs + [(d, s) for s, d in pairs]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    nodes = sorted({n for p in sym for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in sym:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        contrib = np.zeros(n)
+        for s, d in sym:
+            contrib[idx[d]] += r[idx[s]] / out[idx[s]]
+        r = (1 - 0.85) / n + 0.85 * contrib
+
+    got = dict(pagerank(edges, n_iter=3).collect())
+    assert set(got) == set(nodes)
+    for name in nodes:
+        assert abs(got[name] - r[idx[name]]) < 1e-12, name
+    # ranks of a stochastic-ish vector stay positive and bounded
+    assert all(0 < v < 1 for v in got.values())
