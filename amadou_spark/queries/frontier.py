@@ -305,6 +305,127 @@ def q68_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+        WITH vals AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ), stats AS (
+            SELECT dim, CAST(min(val) AS DOUBLE) AS mn,
+                        CAST(max(val) AS DOUBLE) AS mx
+            FROM vals GROUP BY 1
+        ), coded AS (
+            SELECT v.dim, v.val, s.mn, s.mx,
+                   round((v.val - s.mn) * 255 / (s.mx - s.mn)) AS code
+            FROM vals v JOIN stats s ON v.dim = s.dim
+        )
+        SELECT dim,
+               ROUND(mn, 4) AS dim_min,
+               ROUND(mx, 4) AS dim_max,
+               ROUND(avg(pow(val - (mn + code * (mx - mn) / 255), 2)) * 1e6, 4)
+                   AS mse_ppm
+        FROM coded GROUP BY dim, mn, mx ORDER BY dim
+    """,
+    description="int8 scalar quantization of the embedding corpus: "
+    "per-dimension min/max quantizer (the asymmetric-uint8 scheme "
+    "vector stores use) and its per-dimension reconstruction MSE",
+    tags=("llm", "embeddings", "quantization"),
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression step for ANN at scale: 4× smaller vectors
+    (float32 → uint8) before the IVF/LSH index.
+
+    Plan: posexplode → per-dim min/max (64-row aggregate, broadcast
+    back) → quantize + error in one JVM-side pass. Two corpus scans,
+    zero shuffles of the vectors themselves; the only shuffled rows
+    are (dim, partial-agg) pairs — 64 per task.
+    """
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    vals = t["embeddings"].select(
+        "vec_id",
+        (F.posexplode(F.col("embedding"))).alias("dim0", "valf"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    stats = vals.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    coded = vals.join(F.broadcast(stats), "dim").withColumn(
+        "code", F.round((F.col("val") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")))
+    )
+    err = F.col("val") - (F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / 255)
+    return (
+        coded.groupBy("dim", "mn", "mx")
+        .agg(F.round(F.avg(F.pow(err, 2)) * 1e6, 4).alias("mse_ppm"))
+        .select(
+            "dim",
+            F.round("mn", 4).alias("dim_min"),
+            F.round("mx", 4).alias("dim_max"),
+            "mse_ppm",
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "q71_winsorized_mean",
+    oracle="""
+        WITH b AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS p05,
+                   quantile_cont(l_extendedprice, 0.95) AS p95
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_returnflag,
+               count(*) AS n,
+               ROUND(avg(least(greatest(l.l_extendedprice, b.p05), b.p95)), 2)
+                   AS winsorized_avg,
+               ROUND(avg(l.l_extendedprice), 2) AS raw_avg
+        FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        GROUP BY 1 ORDER BY 1
+    """,
+    description="robust statistics: per-group 5/95-percentile "
+    "winsorized mean vs raw mean (outlier-resistant aggregation)",
+    tags=("stats", "robust"),
+)
+def q71_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clamp to per-group [p05, p95] then average.
+
+    The percentile table is |groups| rows → broadcast back; the fact
+    table is scanned twice but shuffled only as partial aggregates.
+    (`percentile` here is exact; at 100 TB swap in approx_percentile
+    and accept the sketch error — the plan shape is identical.)
+    """
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"]
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clamped), 2).alias("winsorized_avg"),
+            F.round(F.avg("l_extendedprice"), 2).alias("raw_avg"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank as portable SQL: one CTE per
     iteration (recursive CTEs can't re-aggregate per step)."""
