@@ -24,17 +24,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this many (directed) edges the component structure is solved
+# driver-side with a union-find over the collected edge list — the exact
+# analogue of a broadcast join's size gate: when one side of the problem
+# fits comfortably in driver memory (2M edges × two 8-64 byte ids ≈ tens
+# of MB), centralizing beats paying multi-round shuffle scheduling. Near-
+# dup edge sets are tiny relative to their corpora (edges exist only
+# where documents overlap), so at 100 TB this path still fires for most
+# real dedup runs; anything larger takes the distributed fixpoint below.
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+# Loop-hygiene gate: disabling whole-stage codegen saves ~100 ms of
+# janino compilation per stage per round, a win only while the rounds
+# are tiny; past this many edges the interpreted-evaluation penalty on
+# the per-round join outweighs compilation, so codegen stays on.
+CODEGEN_OFF_MAX_EDGES = 200_000
+
+
+def _local_components(edges_rows) -> list:
+    """Driver-side union-find over a bounded edge list; returns
+    [(node, cluster_id=min id in component), ...]."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the min id of the component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    local_threshold: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Return (node, cluster_id) for every node in ``edges``, where
     cluster_id is the minimum node id in the node's connected
     component. Nodes with no edges are absent (callers union
-    singletons back if they want total coverage)."""
+    singletons back if they want total coverage).
+
+    Two physical strategies behind one contract, chosen by the real
+    edge cardinality (the same runtime-statistics decision AQE makes
+    for join strategies): ≤ ``local_threshold`` edges → driver-side
+    union-find (the scheduling cost of even one distributed round
+    exceeds solving the whole problem centrally); larger → iterative
+    min-label propagation, one edge-key shuffle per round."""
     # Materialize the directed edge list BEFORE the symmetric union reads
     # it twice: persist alone is not enough — the union's two branches can
     # run concurrently in one job, each missing the still-empty cache and
@@ -44,11 +94,30 @@ def connected_components(
     directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     directed.persist()
     n_edges = directed.count()
+    spark = directed.sparkSession
+    if n_edges <= local_threshold:
+        # Driver union-find fast path (see docstring). The collect is
+        # bounded by the size gate, exactly like a broadcast build side.
+        # Arrow-batched transfer (toPandas), not toLocalIterator: the
+        # iterator path runs one sequential job per partition; Arrow
+        # moves the whole bounded edge list in one job at ~millions of
+        # rows/sec.
+        pdf = directed.toPandas()
+        # .tolist() converts numpy scalars to plain Python ints/strs so
+        # createDataFrame's type verifier accepts the result rows.
+        rows = _local_components(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = directed.schema["a"].dataType
+        directed.unpersist()
+        schema = StructType(
+            [StructField("node", node_t), StructField("cluster_id", node_t)]
+        )
+        return spark.createDataFrame(rows, schema)
     # Right-size the loop's shuffle width to the edge count: the label
     # rounds run over the (usually tiny, always <= 2x input) edge list,
     # and default shuffle partitions would pay scheduling overhead per
     # round out of all proportion to the data.
-    spark = directed.sparkSession
     n_part = max(1, min(spark.sparkContext.defaultParallelism,
                         n_edges // 50_000 + 1))
     sym = directed.union(
@@ -67,7 +136,7 @@ def connected_components(
     # width is set from the real edge count above, which is the decision
     # AQE would be making.)
     aqe_key = "spark.sql.adaptive.enabled"
-    aqe_before = spark.conf.get(aqe_key, "true")
+    aqe_before = spark.conf.get(aqe_key)
     spark.conf.set(aqe_key, "false")
     # With AQE off, every join/groupBy inside the loop would shuffle to
     # the session-wide spark.sql.shuffle.partitions (tuned for batch
@@ -80,14 +149,14 @@ def connected_components(
     spark.conf.set(shuf_key, str(n_part))
     # Whole-stage codegen compiles fresh generated classes for every
     # round's (join, agg, project) stages — ~100 ms of janino per stage,
-    # paid once per ROUND here because each round is a new plan. The
-    # loop's stages are narrow and tiny; interpreted evaluation is
-    # cheaper than compiling (measured ~2 s off the sf0.1 fixpoint).
-    # Restored afterwards — scans and wide batch stages outside the
-    # loop want codegen.
+    # paid once per ROUND here because each round is a new plan. That is
+    # a win only while rounds are tiny; past CODEGEN_OFF_MAX_EDGES the
+    # interpreted-evaluation penalty on millions of rows per round costs
+    # more than compilation, so codegen stays on for big graphs.
     cg_key = "spark.sql.codegen.wholeStage"
-    cg_before = spark.conf.get(cg_key, "true")
-    spark.conf.set(cg_key, "false")
+    cg_before = spark.conf.get(cg_key)
+    if n_edges <= CODEGEN_OFF_MAX_EDGES:
+        spark.conf.set(cg_key, "false")
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -154,31 +223,89 @@ def pagerank(
     spark = e.sparkSession
     n_part = max(1, min(spark.sparkContext.defaultParallelism,
                         n_edges // 50_000 + 1))
+    # The degree table is |V| rows vs |E| edge rows; persisting and
+    # counting it gives n_nodes (the broadcast-feasibility gate) AND the
+    # materialized build side every later step reuses.
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    withdeg = e.join(deg, "src").repartition(n_part, "src")
-    withdeg.persist()
-    withdeg.count()
-    e.unpersist()
-    nodes = withdeg.select(F.col("src").alias("node")).distinct()
-    nodes = nodes.repartition(n_part, "node")
-    nodes.persist()
-    n_nodes = nodes.count()
+    deg.persist()
+    n_nodes = deg.count()
+    small_v = n_nodes <= 5_000_000
+    base = (1.0 - damping) / n_nodes
 
     # Same loop hygiene as connected_components: AQE's per-exchange
-    # stage materialization, a batch-sized shuffle width, and per-round
-    # janino compilation all cost more than the tiny rounds themselves.
+    # stage materialization and a batch-sized shuffle width cost more
+    # than the rounds themselves. Codegen-off is gated on graph size —
+    # interpreting millions of edge rows per round costs more than the
+    # per-round janino compilation it saves.
     keys = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": str(n_part),
-        "spark.sql.codegen.wholeStage": "false",
     }
-    before = {k: spark.conf.get(k, "true") for k in keys}
+    if n_edges <= CODEGEN_OFF_MAX_EDGES:
+        keys["spark.sql.codegen.wholeStage"] = "false"
+    # conf.get(k) with no fallback returns the config's EFFECTIVE value
+    # (its built-in default when unset); a literal fallback like "true"
+    # would be restored verbatim into e.g. shuffle.partitions on a
+    # vanilla session that never set these keys explicitly.
+    before = {k: spark.conf.get(k) for k in keys}
     for k, v in keys.items():
         spark.conf.set(k, v)
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    ranks.persist()
     try:
+        if small_v:
+            # Broadcast loop: the (rank, outdeg) vector — |V| rows — is
+            # the broadcast build side each round, so the persisted edge
+            # list is only ever scanned map-side; the sole shuffle per
+            # round is the partial-aggregated contribution sum (map-side
+            # combine emits ≤ |V| rows per partition). The edge list is
+            # never degree-annotated or repartitioned at all.
+            ranks = deg.select(
+                F.col("src").alias("node"),
+                F.lit(1.0 / n_nodes).alias("rank"),
+                "outdeg",
+            )
+            ranks.persist()
+            for _ in range(n_iter):
+                rs = F.broadcast(ranks)
+                contrib = (
+                    e.join(rs, e["src"] == rs["node"])
+                    .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                    .groupBy("dst")
+                    .agg(F.sum("c").alias("s"))
+                )
+                # every node of the symmetrized graph has an in-edge, but
+                # the general contract only promises outdeg ≥ 1 — keep the
+                # left join from the node set (= deg keys, broadcast-tiny).
+                cs = F.broadcast(contrib)
+                stepped = (
+                    deg.join(cs, deg["src"] == cs["dst"], "left")
+                    .select(
+                        F.col("src").alias("node"),
+                        (
+                            F.lit(base)
+                            + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                        ).alias("rank"),
+                        "outdeg",
+                    )
+                )
+                stepped.persist()
+                stepped.count()
+                ranks.unpersist()
+                ranks = stepped
+            e.unpersist()
+            deg.unpersist()
+            return ranks.select("node", "rank")
+        # Shuffle loop for huge vertex sets: degree-annotated edge list
+        # pre-partitioned by src once; each round shuffle-joins ranks.
+        withdeg = e.join(deg, "src").repartition(n_part, "src")
+        withdeg.persist()
+        withdeg.count()
+        e.unpersist()
+        nodes = deg.select(F.col("src").alias("node")).repartition(n_part, "node")
+        nodes.persist()
+        nodes.count()
+        deg.unpersist()
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        ranks.persist()
         for _ in range(n_iter):
             contrib = (
                 withdeg.join(ranks, withdeg["src"] == ranks["node"])
@@ -200,9 +327,9 @@ def pagerank(
             stepped.count()
             ranks.unpersist()
             ranks = stepped
+        withdeg.unpersist()
+        nodes.unpersist()
+        return ranks
     finally:
         for k, v in before.items():
             spark.conf.set(k, v)
-    withdeg.unpersist()
-    nodes.unpersist()
-    return ranks

@@ -485,15 +485,20 @@ def q70_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.operators.graph import pagerank
 
     t = register_tables(spark, sf_dir)
-    e0 = (
-        t["lineitem"]
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # distinct on the raw int pair (8-byte shuffle keys), THEN build the
+    # string vertex ids; symmetrize with a map-side explode instead of a
+    # union whose two branches re-project the same distinct subtree.
+    base = t["lineitem"].select("l_suppkey", "l_partkey").distinct()
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct(s.alias("src"), p.alias("dst")),
+                F.struct(p.alias("src"), s.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(edges, n_iter=3, damping=0.85)
     return pr.select(
         "node", F.round(F.col("rank") * 1000, 6).alias("rank_permille")

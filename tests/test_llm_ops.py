@@ -262,6 +262,30 @@ def test_connected_components_planted_graph(spark):
     assert out == {3: 3, 9: 3, 12: 3, 20: 3, 40: 40, 41: 40}
 
 
+def test_connected_components_both_paths_agree(spark):
+    """The size-gated driver union-find and the distributed min-label
+    fixpoint (forced via local_threshold=0) produce identical labels,
+    including on a long chain (worst case for round counts) and string
+    node ids (the pagerank-style vertex domain)."""
+    from amadou_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(0, 5)] + [(100, 101), (101, 99)]
+    edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    local = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    dist = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local[5] == 0 and local[99] == 99 and local[100] == 99
+
+    sedges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    slocal = {r.node: r.cluster_id for r in connected_components(sedges).collect()}
+    assert slocal == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_pack_sequences_budget_invariants(spark):
     """Every sequence holds consecutive docs of its shard; a doc's
     offset is the running sum before it, mod budget."""
