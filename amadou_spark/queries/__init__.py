@@ -104,6 +104,7 @@ def _load() -> None:
     if _LOADED:
         return
     from amadou_spark.queries import (  # noqa: F401
+        curation,
         extensions,
         frontier,
         layout,

@@ -1,0 +1,310 @@
+"""Corpus-curation round 2: the operations a PRODUCTION training-data
+pipeline runs between crawls — incremental dedup against yesterday's
+corpus, temperature-balanced multilingual sampling, BPE merge-candidate
+mining, and snapshot reconciliation — plus the GROUP BY ALL sugar.
+
+Scale notes per query:
+
+- llm_dedup_incremental: the historical side is a 32-byte hash INDEX,
+  never the documents; at 100 TB the daily batch anti-joins against a
+  bucketed hash table and only the batch shuffles.
+- llm_sample_temperature: the per-language statistics are a ~|langs|-row
+  aggregate broadcast back onto the corpus — one scan, one broadcast
+  join, membership decided by a portable content hash (reshard-stable,
+  no seeded sample() whose membership drifts with partitioning).
+- llm_bpe_pair_counts: adjacent-pair mining is explode + partial-agg
+  count (map-side combine collapses the fan-out before the shuffle) and
+  a TakeOrdered top-k — the first step of BPE vocabulary induction.
+- q73_snapshot_diff: full-outer join on the key with row-hash compare —
+  at scale both snapshots arrive bucketed by the key and the join is
+  co-located (scale.write_bucketed); the output is one row per key
+  CLASS, never a row per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amadou_spark.catalog import register_tables
+from amadou_spark.queries import query
+
+# Portable uniform-in-[0,1) from doc_id: 6-decimal granularity so the
+# Spark and DuckDB spellings are bit-identical rationals.
+_SPARK_U = (
+    F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    .cast("bigint")
+    % 1_000_000
+) / 1_000_000.0
+_DUCK_U = (
+    "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 1000000) / 1000000.0"
+)
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+        WITH hist AS (
+            SELECT DISTINCT sha256(text) AS content_hash
+            FROM documents
+            WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000) / 1000000.0 < 0.8
+        ), batch AS (
+            SELECT doc_id, lang, sha256(text) AS content_hash
+            FROM documents
+            WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000) / 1000000.0 >= 0.8
+        )
+        SELECT b.doc_id, b.lang, b.content_hash
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM hist h
+                          WHERE h.content_hash = b.content_hash)
+        ORDER BY doc_id
+    """,
+    description="incremental (cross-snapshot) dedup: today's batch keeps "
+    "only docs whose sha2-256 content hash is absent from the historical "
+    "hash index — the between-crawls production pattern. The history side "
+    "is 32-byte hashes, never documents; only the daily batch shuffles "
+    "(left_anti join), and at scale the hash index lives bucketed on "
+    "content_hash so the probe is co-located",
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    hist = (
+        docs.filter(_SPARK_U < 0.8)
+        .select(F.sha2("text", 256).alias("content_hash"))
+        .distinct()
+    )
+    batch = docs.filter(_SPARK_U >= 0.8).select(
+        "doc_id", "lang", F.sha2("text", 256).alias("content_hash")
+    )
+    return batch.join(hist, "content_hash", "left_anti").select(
+        "doc_id", "lang", "content_hash"
+    ).orderBy("doc_id")
+
+
+_ALPHA = 0.3  # temperature exponent (mT5/CC-style language balancing)
+_BUDGET_FRAC = 0.4  # sample budget as a fraction of the corpus
+
+
+@query(
+    "llm_sample_temperature",
+    oracle=f"""
+        WITH stats AS (
+            SELECT lang, count(*) AS c FROM documents GROUP BY lang
+        ), probs AS (
+            SELECT lang, c,
+                   POW(c * 1.0 / (SELECT sum(c) FROM stats), {_ALPHA})
+                   / (SELECT sum(POW(c * 1.0 / (SELECT sum(c) FROM stats),
+                                     {_ALPHA})) FROM stats) AS q
+            FROM stats
+        ), keyed AS (
+            SELECT d.doc_id, d.lang,
+                   ROUND(LEAST(1.0,
+                       {_BUDGET_FRAC} * (SELECT sum(c) FROM stats) * p.q / p.c
+                   ), 6) AS keep_prob,
+                   {_DUCK_U} AS u
+            FROM documents d JOIN probs p USING (lang)
+        )
+        SELECT doc_id, lang, keep_prob
+        FROM keyed WHERE u < keep_prob
+        ORDER BY doc_id
+    """,
+    description="temperature-balanced multilingual sampling (alpha=0.3): "
+    "per-language mass p_l is flattened to p_l^alpha (renormalized) so "
+    "low-resource languages are upsampled relative to their share, then "
+    "each doc keeps with prob budget*q_l/c_l decided by a portable "
+    "content hash — deterministic, reshard-stable membership; the "
+    "language stats are a |langs|-row broadcast, the corpus is scanned "
+    "once",
+    tags=("llm", "sampling"),
+)
+def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    # per-language stats stay IN the plan: |langs| rows cross-joined with
+    # their own one-row totals (both broadcast), then broadcast back onto
+    # the corpus — one full scan, no driver materialization.
+    stats = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    tot = stats.agg(F.sum("c").alias("total"))
+    w = stats.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("c") / F.col("total"), F.lit(_ALPHA))
+    )
+    z = w.agg(F.sum("w").alias("z"))
+    probs = w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(_BUDGET_FRAC)
+                * F.col("total")
+                * (F.col("w") / F.col("z"))
+                / F.col("c"),
+            ),
+            6,
+        ).alias("keep_prob"),
+    )
+    return (
+        docs.join(F.broadcast(probs), "lang")
+        .select("doc_id", "lang", "keep_prob")
+        .filter(_SPARK_U < F.col("keep_prob"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), pairs AS (
+            SELECT tok || ' ' || lead(tok, 1) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS pair
+            FROM toks
+            QUALIFY lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                    IS NOT NULL
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 50
+    """,
+    description="BPE merge-candidate mining: adjacent token-pair "
+    "frequencies over the corpus — the inner statistic of byte-pair-"
+    "encoding vocabulary induction. Spark side builds pairs with "
+    "zip_with over two array slices (zero windows, zero shuffles before "
+    "the count), the count partial-aggregates map-side, and top-50 is a "
+    "TakeOrdered, not a global sort",
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        t["documents"]
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q72_group_by_all",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               count(*) AS n_orders,
+               ROUND(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, order_year
+    """,
+    description="GROUP BY ALL (Spark 4 + DuckDB dialect sugar): every "
+    "non-aggregate select item becomes a grouping key — same physical "
+    "plan as the explicit list (partial agg + one shuffle)",
+    tags=("sql", "aggregate"),
+)
+def q72_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               count(*) AS n_orders,
+               ROUND(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, order_year
+        """
+    )
+
+
+@query(
+    "q73_snapshot_diff",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 7 != 0
+        ), new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN ROUND(o_totalprice * 1.1, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 5 != 0
+        ), classified AS (
+            SELECT CASE
+                     WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     WHEN o.o_orderstatus != n.o_orderstatus
+                          OR o.o_totalprice != n.o_totalprice THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS status,
+                   COALESCE(o.o_orderkey, n.o_orderkey) AS key
+            FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        )
+        SELECT status, count(*) AS n_keys,
+               min(key) AS min_key, max(key) AS max_key
+        FROM classified GROUP BY status
+        ORDER BY status
+    """,
+    description="snapshot reconciliation (CDC audit): two keyed snapshots "
+    "full-outer-joined on the key, each row classified "
+    "added/removed/changed/unchanged by column compare, aggregated to one "
+    "row per class. At 100 TB both snapshots arrive bucketed on the key "
+    "(scale.write_bucketed) so the join is co-located with no shuffle; "
+    "the 'changed' compare extends to a sha2 over all non-key columns",
+    tags=("sql", "cdc", "reconciliation"),
+)
+def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    orders = t["orders"]
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full")
+    status = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("key"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+        .orderBy("status")
+    )
