@@ -614,6 +614,23 @@ def llm_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_similarity_pq",
+    oracle=None,  # quantized codes — recall pinned by tests vs brute force
+    description="ANN via product quantization + ADC: m seeded sub-"
+    "quantizers compress each vector to m byte codes (16x memory "
+    "reduction — the index for a 100 TB corpus fits cluster RAM); per "
+    "query a (m x k_sub) dot-product LUT turns candidate scoring into a "
+    "table gather, and the ADC shortlist is exact-cosine re-ranked (the "
+    "production IVF-PQ recipe)",
+)
+def llm_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.similarity import pq_topk
+
+    t = register_tables(spark, sf_dir)
+    return pq_topk(t["embeddings"], query_ids=list(range(20)), k=5)
+
+
+@query(
     "llm_dedup_embedding_cosine",
     oracle="""
         SELECT id_a, id_b, cosine

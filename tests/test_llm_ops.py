@@ -149,6 +149,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank must recover most of the true
+    top-5; determinism is pinned by running it twice."""
+    from amadou_spark.llm.similarity import cosine_topk_bruteforce, pq_topk
+    from amadou_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, query_ids=qids, k=5).collect()
+    }
+    first = pq_topk(emb, query_ids=qids, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in first}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+    again = pq_topk(emb, query_ids=qids, k=5).collect()
+    assert [tuple(r) for r in first] == [tuple(r) for r in again]
+
+
 def test_ivf_sampled_training_and_bucketed_index(spark, sf_dir):
     """The 100 TB index shape: quantizer trained on a bounded sample,
     assignments persisted hash-bucketed by list_id, probe reads the

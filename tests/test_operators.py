@@ -371,3 +371,48 @@ def test_pagerank_matches_numpy_reference(spark):
         assert abs(got[name] - r[idx[name]]) < 1e-12, name
     # ranks of a stochastic-ish vector stay positive and bounded
     assert all(0 < v < 1 for v in got.values())
+
+
+# ------------------------------------------------------------ compaction
+def test_compaction_plan_and_rewrite(spark, tmp_path):
+    """64 tiny files → inventoried without reading content, planned to
+    a >=2x-smaller layout, rewritten shuffle-free with identical rows."""
+    from amadou_spark.operators.compact import compact, plan_compaction
+
+    src = str(tmp_path / "small")
+    dest = str(tmp_path / "compacted")
+    from pyspark.sql import functions as F
+
+    spark.range(10_000).withColumn("v", F.lit(7)).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    import glob as _glob
+
+    n_src = len(_glob.glob(src + "/*.parquet"))
+    assert n_src == 64
+    total = sum(
+        len(open(f, "rb").read()) for f in _glob.glob(src + "/*.parquet")
+    )
+    plan = plan_compaction(spark, src, target_bytes=total // 4 + 1)
+    assert plan.n_files == 64
+    assert plan.total_bytes == total
+    assert plan.target_files in (4, 5)
+    assert plan.worthwhile
+
+    applied = compact(spark, src, dest, target_bytes=total // 4 + 1)
+    assert applied.target_files == plan.target_files
+    n_dest = len(_glob.glob(dest + "/*.parquet"))
+    assert n_dest == plan.target_files
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dest).orderBy("id").collect()
+    assert a == b
+
+
+def test_compaction_not_worthwhile_for_few_files(spark, tmp_path):
+    from amadou_spark.operators.compact import plan_compaction
+
+    src = str(tmp_path / "big")
+    spark.range(1000).coalesce(2).write.mode("overwrite").parquet(src)
+    plan = plan_compaction(spark, src, target_bytes=1)  # 1 byte → no shrink
+    assert plan.n_files == 2 and not plan.worthwhile
