@@ -308,3 +308,104 @@ def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "llm_sample_weighted",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       ORDER BY POW({_DUCK_U} + 0.0000005, 1.0 / n_chars) DESC,
+                                doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 100
+        ORDER BY doc_id
+    """,
+    description="weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-Res): each doc draws key u^(1/w) from a portable-hash "
+    "uniform u and weight w = n_chars; the global top-100 keys ARE a "
+    "w-weighted sample. One pass, no rejection loop, reshard-stable, "
+    "and the top-k is a TakeOrdered (per-partition heaps, no global "
+    "sort) — the scale-correct way to draw a weighted subset of 100 TB",
+    tags=("llm", "sampling"),
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    # + 0.0000005 keeps u strictly positive (u=0 would collapse the key
+    # for every weight); identical constant on both engines.
+    key = F.pow(_SPARK_U + F.lit(0.0000005), F.lit(1.0) / F.col("n_chars"))
+    from pyspark.sql import Window as W
+
+    ranked = t["documents"].select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(W.orderBy(key.desc(), "doc_id"))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 100).select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_quality_c4_gates",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   n_chars,
+                   length(text) - length(replace(text, 'the ', ''))
+                       AS the_bytes
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               (n_tokens >= 20) AS gate_min_tokens,
+               (n_chars >= 100 AND n_chars <= 50000) AS gate_chars,
+               (n_chars * 1.0 / n_tokens >= 3.0) AS gate_avg_word_len,
+               (the_bytes / 4 >= 1) AS gate_stopword,
+               (n_tokens >= 20 AND n_chars >= 100 AND n_chars <= 50000
+                AND n_chars * 1.0 / n_tokens >= 3.0 AND the_bytes / 4 >= 1)
+                   AS keep
+        FROM scored
+        ORDER BY doc_id
+    """,
+    description="C4-style quality gates: minimum token count, char-"
+    "length band, mean word length, and a stopword-presence check, "
+    "composed into a keep flag — one scan, zero shuffles, every gate a "
+    "JVM string expression; the production pre-filter that runs BEFORE "
+    "any expensive dedup/scoring pass so downstream operators see only "
+    "plausible documents",
+    tags=("llm", "quality"),
+)
+def llm_quality_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    the_count = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the "), F.lit(""))))
+        / 4
+    ).cast("bigint")
+    gate_min_tokens = n_tokens >= 20
+    gate_chars = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 50000)
+    gate_awl = (F.col("n_chars") / n_tokens) >= 3.0
+    gate_stop = the_count >= 1
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            gate_min_tokens.alias("gate_min_tokens"),
+            gate_chars.alias("gate_chars"),
+            gate_awl.alias("gate_avg_word_len"),
+            gate_stop.alias("gate_stopword"),
+            (gate_min_tokens & gate_chars & gate_awl & gate_stop).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
