@@ -30,12 +30,18 @@ from amadou_spark.catalog import register_tables
 from amadou_spark.queries import query
 
 # Portable uniform-in-[0,1) from doc_id: 6-decimal granularity so the
-# Spark and DuckDB spellings are bit-identical rationals.
-_SPARK_U = (
-    F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-    .cast("bigint")
-    % 1_000_000
-) / 1_000_000.0
+# Spark and DuckDB spellings are bit-identical rationals. A function,
+# not a module constant: Column construction needs an active
+# SparkContext, and this module imports at registry-load time, which
+# can precede session creation (e.g. a driver calling queries() first).
+def _spark_u():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    ) / 1_000_000.0
+
+
 _DUCK_U = (
     "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
     " % 1000000) / 1000000.0"
@@ -74,11 +80,11 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     docs = t["documents"]
     hist = (
-        docs.filter(_SPARK_U < 0.8)
+        docs.filter(_spark_u() < 0.8)
         .select(F.sha2("text", 256).alias("content_hash"))
         .distinct()
     )
-    batch = docs.filter(_SPARK_U >= 0.8).select(
+    batch = docs.filter(_spark_u() >= 0.8).select(
         "doc_id", "lang", F.sha2("text", 256).alias("content_hash")
     )
     return batch.join(hist, "content_hash", "left_anti").select(
@@ -150,7 +156,7 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(F.broadcast(probs), "lang")
         .select("doc_id", "lang", "keep_prob")
-        .filter(_SPARK_U < F.col("keep_prob"))
+        .filter(_spark_u() < F.col("keep_prob"))
         .orderBy("doc_id")
     )
 
@@ -337,7 +343,7 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     # + 0.0000005 keeps u strictly positive (u=0 would collapse the key
     # for every weight); identical constant on both engines.
-    key = F.pow(_SPARK_U + F.lit(0.0000005), F.lit(1.0) / F.col("n_chars"))
+    key = F.pow(_spark_u() + F.lit(0.0000005), F.lit(1.0) / F.col("n_chars"))
     from pyspark.sql import Window as W
 
     ranked = t["documents"].select(
