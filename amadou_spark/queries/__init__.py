@@ -110,6 +110,7 @@ def _load() -> None:
         layout,
         llm_ops,
         sketches,
+        surface,
         tier_a,
         tier_b,
         tpch_more,
