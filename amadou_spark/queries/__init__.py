@@ -108,6 +108,7 @@ def _load() -> None:
         extensions,
         frontier,
         layout,
+        lines,
         llm_ops,
         sketches,
         surface,

@@ -1,0 +1,153 @@
+"""C4-style line/chunk-level corpus dedup (Raffel et al. 2020 §2.2
+dedup three-sentence spans; Penedo et al. 2023 RefinedWeb line-dedup).
+
+The documents table has no newlines, so the "line" unit here is a
+non-overlapping 8-token chunk. The pipeline:
+
+  tokens → chunks (slice, JVM higher-order fns, zero shuffle)
+         → md5(chunk) 32-char ids
+         → corpus-wide chunk frequency (ONE shuffle of 32-byte keys)
+         → broadcast-join the duplicated-chunk set back per doc
+
+At 100 TB this is the scale-safe shape: the only wide shuffle carries
+(hash, doc_id) pairs, never the text; the duplicated-chunk set (the
+heavy-hitter tail) is orders of magnitude smaller than the corpus and
+joins back as an equi-join on the hash — no all-pairs comparison
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amadou_spark.catalog import register_tables
+from amadou_spark.queries import query
+
+CHUNK_TOKENS = 8
+
+# Shared prefix: doc_id → exploded md5(chunk_hash) for every
+# non-overlapping 8-token chunk. DuckDB's list slice w[a:b] is 1-based
+# inclusive; Spark's slice(arr, start, length) matches with length=8.
+_CHUNKS_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    eligible AS (
+        SELECT doc_id, lang, w,
+               CAST(FLOOR(len(w) / {CHUNK_TOKENS}) AS BIGINT) AS nc
+        FROM toks WHERE len(w) >= {CHUNK_TOKENS}
+    ),
+    chunks AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(
+                   w[(i*{CHUNK_TOKENS}+1):(i*{CHUNK_TOKENS}+{CHUNK_TOKENS})],
+                   ' ')) AS chunk_hash
+        FROM eligible, UNNEST(range(nc)) AS t(i)
+    )
+"""
+
+
+def _doc_chunks(docs: DataFrame) -> DataFrame:
+    """doc_id, lang, chunk_hash — one row per non-overlapping chunk.
+
+    transform+slice run inside whole-stage codegen; the explode is the
+    only row-multiplier and md5 shrinks each chunk to a fixed 32 chars
+    before anything shuffles.
+    """
+    w = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(w) / CHUNK_TOKENS).cast("int")
+    chunk_list = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(w, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
+        ),
+    )
+    return (
+        docs.filter(F.size(w) >= CHUNK_TOKENS)
+        .select("doc_id", "lang", F.explode(chunk_list).alias("chunk_hash"))
+    )
+
+
+@query(
+    "llm_line_frequency",
+    oracle=_CHUNKS_CTE
+    + """
+    SELECT chunk_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_total
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY n_total DESC, chunk_hash
+    """,
+    description="corpus-wide duplicated-chunk inventory: every 8-token "
+    "chunk appearing in >1 document, with doc- and occurrence-counts — "
+    "the heavy-hitter table a C4-style line-dedup pass joins against",
+    tags=("llm", "dedup"),
+)
+def llm_line_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        _doc_chunks(t["documents"])
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_total"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_total"), "chunk_hash")
+    )
+
+
+@query(
+    "llm_dedup_lines",
+    oracle=_CHUNKS_CTE
+    + """
+    , freq AS (
+        SELECT chunk_hash FROM chunks
+        GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               COUNT(f.chunk_hash) AS n_dup_chunks
+        FROM chunks c LEFT JOIN freq f ON c.chunk_hash = f.chunk_hash
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           n_dup_chunks * 2 < n_chunks AS keep
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    description="C4-style line-dedup decision: per document, the count "
+    "of 8-token chunks that also appear in another document; a doc is "
+    "kept while duplicated chunks stay under half its content. The "
+    "duplicated-chunk set is tiny and broadcast back — the corpus is "
+    "scanned once and never carries text through a shuffle",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    chunks = _doc_chunks(t["documents"])
+    dup_set = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("chunk_hash")
+    )
+    per_doc = (
+        chunks.join(F.broadcast(dup_set.withColumn("dup", F.lit(1))),
+                    "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("dup").alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        (F.col("n_dup_chunks") * 2 < F.col("n_chunks")).alias("keep"),
+    ).orderBy("doc_id")
