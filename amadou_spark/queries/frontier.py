@@ -485,12 +485,17 @@ def q70_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.operators.graph import pagerank
 
     t = register_tables(spark, sf_dir)
-    # distinct on the raw int pair (8-byte shuffle keys), THEN build the
-    # string vertex ids; symmetrize with a map-side explode instead of a
-    # union whose two branches re-project the same distinct subtree.
+    # distinct on the raw int pair (8-byte shuffle keys), then keep LONG
+    # vertex ids through the whole loop (suppkey→2k, partkey→2k+1 —
+    # disjoint namespaces): every per-round join/persist hashes and
+    # serializes 8-byte longs instead of "s123"-style strings (~2-3×
+    # cheaper on the 2|E|-row persisted edge list). The human-readable
+    # string ids are rebuilt only on the final |V|-row output.
+    # Symmetrize with a map-side explode instead of a union whose two
+    # branches re-project the same distinct subtree.
     base = t["lineitem"].select("l_suppkey", "l_partkey").distinct()
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.col("l_suppkey") * 2
+    p = F.col("l_partkey") * 2 + 1
     edges = base.select(
         F.explode(
             F.array(
@@ -500,8 +505,15 @@ def q70_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     pr = pagerank(edges, n_iter=3, damping=0.85)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
     return pr.select(
-        "node", F.round(F.col("rank") * 1000, 6).alias("rank_permille")
+        node_str.alias("node"),
+        F.round(F.col("rank") * 1000, 6).alias("rank_permille"),
     ).orderBy("node")
 
 

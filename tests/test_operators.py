@@ -3,6 +3,8 @@ composition vs pandas merge_asof) must agree exactly."""
 
 from __future__ import annotations
 
+import pytest
+
 from amadou_spark.catalog import load_table
 from amadou_spark.operators.asof import asof_join, asof_join_pandas
 
@@ -341,9 +343,12 @@ def test_interval_join_plan_is_hash_join_not_nested_loop(spark, sf_dir):
 # ------------------------------------------------------------- pagerank
 
 
-def test_pagerank_matches_numpy_reference(spark):
-    """Spark loop must equal the dense numpy power iteration on a small
-    known graph (symmetrized, so no dangling nodes)."""
+@pytest.mark.parametrize("local_threshold", [0, 2_000_000])
+def test_pagerank_matches_numpy_reference(spark, local_threshold):
+    """Both physical strategies (distributed loop at threshold=0, local
+    numpy fast path at the default gate) must equal the dense numpy
+    power iteration on a small known graph (symmetrized, so no
+    dangling nodes)."""
     import numpy as np
 
     from amadou_spark.operators.graph import pagerank
@@ -365,7 +370,9 @@ def test_pagerank_matches_numpy_reference(spark):
             contrib[idx[d]] += r[idx[s]] / out[idx[s]]
         r = (1 - 0.85) / n + 0.85 * contrib
 
-    got = dict(pagerank(edges, n_iter=3).collect())
+    got = dict(
+        pagerank(edges, n_iter=3, local_threshold=local_threshold).collect()
+    )
     assert set(got) == set(nodes)
     for name in nodes:
         assert abs(got[name] - r[idx[name]]) < 1e-12, name
