@@ -51,11 +51,12 @@ def query(
     return deco
 
 
-# Names that already have a green row in the driver's CORRECTNESS_r01.json.
-# The round-1 driver artifact capped at 50 entries, so `all_queries()` yields
-# never-driver-checked entries FIRST (in registration order) and these last:
-# with a capped sweep this maximizes cumulative driver coverage per round.
+# Names that already have a green row in the driver's CORRECTNESS_r01.json /
+# CORRECTNESS_r02.json artifacts.  The per-round driver artifact caps at 50
+# entries, so `all_queries()` yields never-driver-checked entries FIRST and
+# these last: with a capped sweep this maximizes cumulative driver coverage.
 _DRIVER_CHECKED = frozenset({
+    # round 1
     "llm_dedup_embedding_cosine", "llm_dedup_exact", "llm_dedup_minhash",
     "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_dedup_simhash_pairs",
     "llm_multimodal_features", "llm_multimodal_frames", "llm_multimodal_meta",
@@ -72,11 +73,58 @@ _DRIVER_CHECKED = frozenset({
     "q33c_bounded_rows_frame", "q34_stat_aggregates",
     "q34b_median_value_windows", "q35_exists_filtered", "q36_profile_nulls",
     "q37_tpch_q6", "q38_not_in_subquery",
+    # round 2 (q69_skew_profile deliberately excluded: its driver row was
+    # hash_match=false, so it must re-run after the oracle-cast fix)
+    "llm_bpe_pair_counts", "llm_chunk_documents", "llm_decontaminate",
+    "llm_dedup_clusters", "llm_dedup_incremental", "llm_dedup_keep_best",
+    "llm_dedup_levenshtein", "llm_dedup_lines", "llm_embedding_centroids",
+    "llm_embedding_quantize", "llm_line_frequency", "llm_pack_sequences",
+    "llm_pii_redact", "llm_quality_c4_gates", "llm_quality_repetition",
+    "llm_quality_unigram_logprob", "llm_sample_stratified",
+    "llm_sample_temperature", "llm_sample_weighted", "llm_sessionize_events",
+    "llm_similarity_pq", "llm_split_train_val_test", "llm_text_tfidf",
+    "llm_text_top_ngrams", "q15b_cube", "q15c_grouping_sets",
+    "q39b_incremental_rollup", "q57_funnel", "q58_cohort_retention",
+    "q59_resample_gapfill", "q60_cms_frequency", "q61_hll_mergeable",
+    "q62_zorder_cells", "q63_kl_drift", "q63_recursive_cte", "q64_histogram",
+    "q64_xml_roundtrip", "q65_python_udtf", "q66_lateral_topk",
+    "q67_interval_join", "q68_event_transitions", "q70_pagerank",
+    "q71_winsorized_mean", "q72_group_by_all", "q73_snapshot_diff",
+    "q74_intersect_all", "q74b_except_all", "q75_union_by_name",
+    "q76_null_safe_join",
 })
+
+
+def _backlog_rank(name: str) -> tuple[int, str]:
+    """Explicit drain order for the driver-unchecked backlog
+    (VERDICT r2 'Next round' #1): the SURVEY §2.2 normative core first.
+
+    1. Tier A Q17–Q30 (tier_a.py) — waiting since round 1,
+    2. Tier B B01–B09 (tier_b.py),
+    3. TPC-H shapes q39–q56 (tpch_more.py),
+    4. the q77–q88 surface batch,
+    5. anything else (e.g. queries added after round 2), registration order.
+    """
+    import re
+
+    m = re.match(r"^q(\d+)", name)
+    num = int(m.group(1)) if m else -1
+    if 17 <= num <= 30:
+        return (0, name)
+    if name.startswith("b0"):
+        return (1, name)
+    if name == "q69_skew_profile":  # re-check after the r2 oracle-cast fix
+        return (2, "")
+    if 39 <= num <= 56 and name != "q39b_incremental_rollup":
+        return (2, name)
+    if 77 <= num <= 88:
+        return (3, name)
+    return (4, "")  # stable: sorted() keeps registration order within tier
 
 
 def _priority_names() -> list[str]:
     unchecked = [n for n in REGISTRY if n not in _DRIVER_CHECKED]
+    unchecked.sort(key=_backlog_rank)
     checked = [n for n in REGISTRY if n in _DRIVER_CHECKED]
     return unchecked + checked
 

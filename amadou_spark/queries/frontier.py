@@ -524,12 +524,13 @@ def q70_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_orderkey AS key, count(*) AS n
             FROM lineitem GROUP BY 1
         )
-        SELECT count(*) AS n_keys,
-               sum(n) AS n_rows,
-               max(n) AS max_key_rows,
-               ROUND(quantile_cont(n, 0.5), 2) AS p50_key_rows,
-               ROUND(quantile_cont(n, 0.99), 2) AS p99_key_rows,
-               ROUND(max(n) * 1.0 * count(*) / sum(n), 4) AS max_over_avg
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_key_rows,
+               CAST(ROUND(quantile_cont(n, 0.5), 2) AS DOUBLE) AS p50_key_rows,
+               CAST(ROUND(quantile_cont(n, 0.99), 2) AS DOUBLE) AS p99_key_rows,
+               CAST(ROUND(max(n) * 1.0 * count(*) / sum(n), 4) AS DOUBLE)
+                   AS max_over_avg
         FROM k
     """,
     description="join-key skew diagnostic: per-key cardinality "
@@ -549,13 +550,21 @@ def q69_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = t["lineitem"].groupBy(F.col("l_orderkey").alias("key")).agg(
         F.count("*").alias("n")
     )
+    # Explicit BIGINT/DOUBLE casts on every output column so the driver's
+    # value hash is type-stable against DuckDB (whose sum() yields HUGEINT
+    # and whose ROUND type-tags differently) — r2 driver row had
+    # hash_match=false purely from serialization, not values.
     return k.agg(
-        F.count("*").alias("n_keys"),
-        F.sum("n").alias("n_rows"),
-        F.max("n").alias("max_key_rows"),
-        F.round(F.expr("percentile(n, 0.5)"), 2).alias("p50_key_rows"),
-        F.round(F.expr("percentile(n, 0.99)"), 2).alias("p99_key_rows"),
-        F.round(
-            F.max("n") * F.count("*") / F.sum("n"), 4
-        ).alias("max_over_avg"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.round(F.expr("percentile(n, 0.5)"), 2)
+        .cast("double")
+        .alias("p50_key_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 2)
+        .cast("double")
+        .alias("p99_key_rows"),
+        F.round(F.max("n") * F.count("*") / F.sum("n"), 4)
+        .cast("double")
+        .alias("max_over_avg"),
     )

@@ -7,13 +7,17 @@ non-overlapping 8-token chunk. The pipeline:
   tokens → chunks (slice, JVM higher-order fns, zero shuffle)
          → md5(chunk) 32-char ids
          → corpus-wide chunk frequency (ONE shuffle of 32-byte keys)
-         → broadcast-join the duplicated-chunk set back per doc
+         → equi-join the duplicated-chunk set back per doc on the hash
 
-At 100 TB this is the scale-safe shape: the only wide shuffle carries
-(hash, doc_id) pairs, never the text; the duplicated-chunk set (the
-heavy-hitter tail) is orders of magnitude smaller than the corpus and
-joins back as an equi-join on the hash — no all-pairs comparison
-anywhere.
+At 100 TB this is the scale-safe shape: every wide exchange carries
+(hash, doc_id) pairs, never the text, and there is no all-pairs
+comparison anywhere. The dup-set join deliberately carries NO
+broadcast hint: the duplicated-chunk inventory of a web corpus is
+unbounded (the long tail of 2-doc duplicates grows with the corpus —
+tens of GB at 100 TB), so the planner/AQE must pick the strategy from
+observed sizes; a shuffle join on the 32-byte hash is fine, and both
+sides hash-partition on chunk_hash so the probe side's exchange is
+reused from the frequency aggregation.
 """
 
 from __future__ import annotations
@@ -122,9 +126,10 @@ def llm_line_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="C4-style line-dedup decision: per document, the count "
     "of 8-token chunks that also appear in another document; a doc is "
-    "kept while duplicated chunks stay under half its content. The "
-    "duplicated-chunk set is tiny and broadcast back — the corpus is "
-    "scanned once and never carries text through a shuffle",
+    "kept while duplicated chunks stay under half its content. No "
+    "shuffle ever carries document text (hash + doc_id only) and the "
+    "dup-set join is unhinted — its cardinality is corpus-dependent, "
+    "so AQE picks broadcast vs shuffle from observed sizes",
     tags=("llm", "dedup"),
 )
 def llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,8 +141,13 @@ def llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select("chunk_hash")
     )
+    # No F.broadcast here (r2 VERDICT "What's wrong" #2): the dup set is
+    # unbounded at scale, so the hint would force a driver-side collect
+    # of a potentially tens-of-GB table. AQE's size-based planning picks
+    # broadcast when it genuinely fits; otherwise both sides shuffle on
+    # the 32-byte chunk_hash only.
     per_doc = (
-        chunks.join(F.broadcast(dup_set.withColumn("dup", F.lit(1))),
+        chunks.join(dup_set.withColumn("dup", F.lit(1)),
                     "chunk_hash", "left")
         .groupBy("doc_id")
         .agg(

@@ -1,0 +1,87 @@
+"""Plan-hygiene pins for the r2-VERDICT broadcast fixes.
+
+Two queries used to force-broadcast a corpus-dependent table
+(`llm_dedup_lines`: the duplicated-chunk set; `llm_quality_unigram_logprob`:
+the token-frequency vocabulary). Both tables grow with corpus size, so a
+broadcast *hint* is a latent 100 TB OOM even though it works at test scale.
+These tests pin the fix: no broadcast hint survives analysis, and no
+shuffle/broadcast exchange ever carries the `text` column — only hash /
+token / id columns go wide. AQE remains free to pick broadcast at runtime
+when the observed size fits; that is size-based, not forced, and is exactly
+the behavior we want.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from amadou_spark.queries import REGISTRY, _load
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchange_blocks(formatted: str) -> list[str]:
+    """Node blocks (header + Input/Arguments lines) for every exchange."""
+    blocks, cur = [], None
+    for line in formatted.splitlines():
+        if re.match(r"\(\d+\) ", line):
+            if cur is not None:
+                blocks.append("\n".join(cur))
+            cur = [line]
+        elif cur is not None:
+            if line.strip() == "":
+                blocks.append("\n".join(cur))
+                cur = None
+            else:
+                cur.append(line)
+    if cur is not None:
+        blocks.append("\n".join(cur))
+    return [b for b in blocks if "Exchange" in b.splitlines()[0]]
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_dedup_lines", "llm_quality_unigram_logprob"]
+)
+def test_no_broadcast_hint(spark, sf_dir, name):
+    """The analyzed plan carries no ResolvedHint: join strategy is left
+    to size statistics / AQE, never forced."""
+    _load()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    if name == "llm_quality_unigram_logprob":
+        # the 1-row corpus `total` is a structurally-bounded broadcast
+        # and keeps its hint; the vocabulary join must not have one
+        assert n_hints <= 1, analyzed[:2000]
+        hinted = [
+            ln for ln in analyzed.splitlines() if "ResolvedHint" in ln
+        ]
+        for ln in hinted:
+            assert "tok" not in ln, analyzed[:2000]
+    else:
+        assert n_hints == 0, analyzed[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_dedup_lines", "llm_quality_unigram_logprob"]
+)
+def test_no_document_text_through_exchanges(spark, sf_dir, name):
+    """No exchange (shuffle or broadcast) carries the raw `text` column:
+    only fixed-width hashes, tokens and ids go wide. This is the property
+    that makes the op scale-safe regardless of join strategy."""
+    _load()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    formatted = _formatted_plan(df)
+    exchanges = _exchange_blocks(formatted)
+    assert exchanges, formatted[:2000]  # plans do shuffle on the keys
+    for block in exchanges:
+        assert not re.search(r"\btext#", block), block
