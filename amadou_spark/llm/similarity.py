@@ -52,6 +52,7 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 1024,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -69,6 +70,19 @@ def cosine_topk_bruteforce(
     )
     if query_ids is not None:
         queries = queries.filter(F.col("query_id").isin(query_ids))
+    # Contract guard (r2 VERDICT #5): the plan below is |corpus| × |q| —
+    # the right tool ONLY for a small query set. A large |q| must go to
+    # the sub-linear paths (LSH/IVF/PQ); failing loudly beats silently
+    # broadcasting an unbounded query set into a row-multiplying join.
+    nq = queries.count()
+    if nq > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_bruteforce: query set has {nq} rows > "
+            f"max_query_rows={max_query_rows}. Brute force scores "
+            "|corpus|*|q| pairs; for large query sets use "
+            "cosine_topk_lsh / cosine_topk_ivf / pq_topk, or raise "
+            "max_query_rows explicitly if the cost is intended."
+        )
     queries = queries.withColumn(
         "qnrm", F.sqrt(dot_pd(F.col("qvec"), F.col("qvec")))
     )
@@ -247,6 +261,7 @@ def pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train_rows: int = 4096,
+    max_query_rows: int = 1024,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via product quantization with
     asymmetric distance computation (ADC) and exact re-rank.
@@ -268,6 +283,12 @@ def pq_topk(
 
     Deterministic: seeded sample + seeded Lloyd's → stable codes,
     shortlist, and result set. Tests pin recall vs brute force.
+
+    ``max_query_rows`` bounds the per-pass LUT closure: a query set
+    larger than this is scored in chunks (one corpus ADC pass per
+    chunk of ≤max_query_rows queries) so neither the broadcast closure
+    nor the per-batch (|q| × batch) score matrix grows unboundedly.
+    Tests pin chunked == single-pass results.
     """
     dot_pd = _dot_pd_udf()
     base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
@@ -322,58 +343,80 @@ def pq_topk(
     )
     if query_ids is not None:
         queries = queries.filter(F.col("query_id").isin(query_ids))
-    # Query LUTs are built driver-side from the (small, bounded) query
-    # set — |q| × m × k_sub doubles — and ride in the scoring UDF's
-    # closure; the corpus side crosses to Python once per Arrow batch
-    # and each batch scores ALL queries as one gather + sum.
+    # Query LUTs are built driver-side — |q| × m × k_sub doubles — and
+    # ride in the scoring UDF's closure; the corpus side crosses to
+    # Python once per Arrow batch and each batch scores a CHUNK of
+    # queries as one gather + sum. The chunk bound (r2 VERDICT #5) caps
+    # the closure and the per-batch score matrix at max_query_rows
+    # queries: a larger query set costs one corpus scoring pass per
+    # chunk instead of silently building an unbounded LUT tensor.
     qpdf = queries.toPandas()
-    qv = np.asarray(qpdf["qvec"].tolist(), dtype=np.float64)  # (nq, dim)
-    luts = np.stack(
-        [qv[:, j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)], axis=1
-    )  # (nq, m, k_sub)
-    qids = qpdf["query_id"].to_numpy()
-    qnrms = qpdf["qnrm"].to_numpy()
-
-    @pandas_udf("array<double>")
-    def adc_scores(codes: pd.Series, nrm: pd.Series) -> pd.Series:
-        c = np.asarray(codes.tolist(), dtype=np.int64)  # (b, m)
-        n = nrm.to_numpy()
-        # gather: (nq, b) approximate dot = Σ_j luts[:, j, c[:, j]]
-        approx = np.zeros((len(qids), len(c)))
-        for j in range(m):
-            approx += luts[:, j, :][:, c[:, j]]
-        cos = approx / (qnrms[:, None] * n[None, :])
-        return pd.Series(list(cos.T))
-
     shortlist_n = k * shortlist_factor
-    scored = encoded.select(
-        F.col("vid").alias("neighbor_id"),
-        adc_scores(F.col("codes"), F.col("nrm")).alias("s"),
-    ).select(
-        "neighbor_id",
-        F.posexplode("s").alias("qpos", "adc_cosine"),
-    )
-    qid_map = F.array(*[F.lit(int(q)) for q in qids])
-    shortlist = (
-        scored.withColumn("query_id", F.get(qid_map, F.col("qpos")))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "srank",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("adc_cosine").desc(), "neighbor_id"
-                )
-            ),
+
+    def _chunk_shortlist(chunk: pd.DataFrame) -> DataFrame:
+        qv = np.asarray(chunk["qvec"].tolist(), dtype=np.float64)
+        luts = np.stack(
+            [qv[:, j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)],
+            axis=1,
+        )  # (nq_chunk, m, k_sub)
+        qids = chunk["query_id"].to_numpy()
+        qnrms = chunk["qnrm"].to_numpy()
+
+        @pandas_udf("array<double>")
+        def adc_scores(codes: pd.Series, nrm: pd.Series) -> pd.Series:
+            c = np.asarray(codes.tolist(), dtype=np.int64)  # (b, m)
+            n = nrm.to_numpy()
+            # gather: (nq, b) approximate dot = Σ_j luts[:, j, c[:, j]]
+            approx = np.zeros((len(qids), len(c)))
+            for j in range(m):
+                approx += luts[:, j, :][:, c[:, j]]
+            cos = approx / (qnrms[:, None] * n[None, :])
+            return pd.Series(list(cos.T))
+
+        scored = encoded.select(
+            F.col("vid").alias("neighbor_id"),
+            adc_scores(F.col("codes"), F.col("nrm")).alias("s"),
+        ).select(
+            "neighbor_id",
+            F.posexplode("s").alias("qpos", "adc_cosine"),
         )
-        .filter(F.col("srank") <= shortlist_n)
-        .select("query_id", "neighbor_id")
-    )
+        qid_map = F.array(*[F.lit(int(q)) for q in qids])
+        return (
+            scored.withColumn("query_id", F.get(qid_map, F.col("qpos")))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "srank",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("adc_cosine").desc(), "neighbor_id"
+                    )
+                ),
+            )
+            .filter(F.col("srank") <= shortlist_n)
+            .select("query_id", "neighbor_id")
+        )
+
+    parts = [
+        _chunk_shortlist(qpdf.iloc[i : i + max_query_rows])
+        for i in range(0, len(qpdf), max_query_rows)
+    ]
+    if not parts:
+        spark = embeddings.sparkSession
+        empty = spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank bigint"
+        )
+        encoded.unpersist()
+        return empty
+    shortlist = parts[0]
+    for p in parts[1:]:
+        shortlist = shortlist.unionAll(p)
     # exact re-rank of the shortlist: join true vectors back (the
-    # shortlist is |q|·k·factor rows — tiny), broadcast the query side
+    # shortlist is |q|·k·factor rows); the query join is unhinted —
+    # AQE broadcasts it while |q| is small and shuffles when it isn't
     rerank = (
         shortlist.join(encoded.select("vid", "vec", "nrm"),
                        shortlist["neighbor_id"] == F.col("vid"))
-        .join(F.broadcast(queries), "query_id")
+        .join(queries, "query_id")
         .select(
             "query_id",
             "neighbor_id",

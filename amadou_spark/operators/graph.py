@@ -209,6 +209,10 @@ def pagerank(
     Spark's own examples): ``r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/out(u)``
     — no dangling-mass redistribution, so feed a graph where every
     node has out-degree ≥ 1 (e.g. a symmetrized bipartite graph).
+    The node universe is the set of edge SOURCES on both physical
+    strategies: an out-of-contract dangling node (appears only as a
+    dst) is excluded from the output and the 1/N normalization
+    identically, so the size gate never changes the result.
     Fixed ``n_iter`` (not convergence-tested) keeps the result
     deterministic and SQL-expressible for the oracle.
 
@@ -235,21 +239,27 @@ def pagerank(
 
         pdf = e.toPandas()
         e.unpersist()
-        # factorize both endpoint columns against ONE shared vocabulary
-        nodes, codes = np.unique(
-            np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]),
-            return_inverse=True,
-        )
-        src_c, dst_c = codes[: len(pdf)], codes[len(pdf):]
+        # Node universe = src keys ONLY, exactly like the distributed
+        # loop (whose `nodes` table is the outdeg groupBy keys). An
+        # out-of-contract dangling node (outdeg 0, appears only as dst)
+        # is therefore excluded from the output and from the 1/N
+        # normalization by BOTH physical strategies — the size gate
+        # never changes the result set (r2 ADVICE item).
+        src_arr = pdf["src"].to_numpy()
+        dst_arr = pdf["dst"].to_numpy()
+        nodes, src_c = np.unique(src_arr, return_inverse=True)
         n = len(nodes)
+        pos = np.searchsorted(nodes, dst_arr)
+        pos_clipped = np.minimum(pos, n - 1)
+        in_universe = nodes[pos_clipped] == dst_arr
+        dst_c = pos_clipped
         outdeg = np.bincount(src_c, minlength=n).astype(np.float64)
-        # contract: every node has outdeg >= 1; guard div-by-zero anyway
-        outdeg[outdeg == 0] = 1.0
         rank = np.full(n, 1.0 / n)
         base = (1.0 - damping) / n
         for _ in range(n_iter):
+            w = rank[src_c] / outdeg[src_c]
             contrib = np.bincount(
-                dst_c, weights=rank[src_c] / outdeg[src_c], minlength=n
+                dst_c[in_universe], weights=w[in_universe], minlength=n
             )
             rank = base + damping * contrib
         out = pd.DataFrame({"node": nodes, "rank": rank})

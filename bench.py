@@ -100,9 +100,28 @@ def main() -> None:
         "n_queries": len(timings),
         "n_tier_a": len(tier_a),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
+    # also stamp a per-round copy (BENCH_DETAIL_r{N}.json, N inferred
+    # from the driver's BENCH_r{N}.json artifacts) so round-over-round
+    # per-query diffs never need archaeology on the truncated stdout
+    # tail. Only at the driver's sf (0.1) — local sf0.001 iteration
+    # runs shouldn't clobber the round record.
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(here)
+        if (m := _re.match(r"BENCH_r(\d+)\.json$", fn))
+    ]
+    if abs(sf - 0.1) < 1e-9:
+        this_round = (max(rounds) + 1) if rounds else 1
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json"), "w"
+        ) as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
 
     # stdout line must fit the driver's ~2 KB stdout-tail window or it
     # is recorded unparsed: keep the slowest queries, drop from the fast

@@ -169,6 +169,35 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     assert [tuple(r) for r in first] == [tuple(r) for r in again]
 
 
+def test_pq_large_query_set_chunks_to_same_result(spark, sf_dir):
+    """r2 VERDICT #5: a query set over max_query_rows is scored in
+    bounded chunks (one ADC pass per chunk) and must produce exactly
+    the single-pass result."""
+    from amadou_spark.catalog import load_table
+    from amadou_spark.llm.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    single = pq_topk(emb, query_ids=qids, k=5).collect()
+    chunked = pq_topk(emb, query_ids=qids, k=5, max_query_rows=3).collect()
+    assert [tuple(r) for r in single] == [tuple(r) for r in chunked]
+
+
+def test_bruteforce_large_query_set_raises_contract_error(spark, sf_dir):
+    """r2 VERDICT #5: brute force is |corpus|x|q| — a large query set
+    must fail loudly with a pointer at the sub-linear paths instead of
+    silently broadcasting into a row-multiplying join."""
+    import pytest as _pytest
+
+    from amadou_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_bruteforce(
+            emb, query_ids=list(range(20)), k=3, max_query_rows=8
+        )
+
+
 def test_ivf_sampled_training_and_bucketed_index(spark, sf_dir):
     """The 100 TB index shape: quantizer trained on a bounded sample,
     assignments persisted hash-bucketed by list_id, probe reads the

@@ -380,6 +380,22 @@ def test_pagerank_matches_numpy_reference(spark, local_threshold):
     assert all(0 < v < 1 for v in got.values())
 
 
+def test_pagerank_dangling_node_same_universe_both_paths(spark):
+    """r2 ADVICE: an out-of-contract dangling node (only ever a dst)
+    must be treated identically by the local numpy path and the
+    distributed loop — excluded from the node set and from the 1/N
+    normalization — so the size gate can never flip the answer."""
+    from amadou_spark.operators.graph import pagerank
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "zzz_dangling")]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    local = dict(pagerank(edges, n_iter=3, local_threshold=2_000_000).collect())
+    dist = dict(pagerank(edges, n_iter=3, local_threshold=0).collect())
+    assert set(local) == set(dist) == {"a", "b"}
+    for node in local:
+        assert abs(local[node] - dist[node]) < 1e-12, node
+
+
 # ------------------------------------------------------------ compaction
 def test_compaction_plan_and_rewrite(spark, tmp_path):
     """64 tiny files → inventoried without reading content, planned to
