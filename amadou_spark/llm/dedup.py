@@ -101,6 +101,22 @@ def shingles(text: Column, n: int = 3) -> Column:
     return shingles_of(tokens(text), text, n)
 
 
+# Planning-time broadcast gate for join sides whose cardinality is
+# Θ(|docs|) or smaller (per-doc shingle counts, stop-shingle sets).
+# Same pattern as operators/graph.py's small_v gate: make the size
+# decision AQE would make, one stage EARLIER — a parquet count() is
+# metadata-only, and a planning-time broadcast spares the probe side
+# its entire shuffle map phase (AQE's runtime conversion still writes
+# the probe shuffle files before it can convert). ≤5M docs ≈ tens of
+# MB of (id, count) rows — comfortably broadcastable; above the gate
+# the joins stay unhinted and AQE picks from observed sizes.
+BROADCAST_DOCS_GATE = 5_000_000
+
+
+def _gate(df: DataFrame, n_docs: int) -> DataFrame:
+    return F.broadcast(df) if n_docs <= BROADCAST_DOCS_GATE else df
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -138,7 +154,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("freq") > max_shingle_freq)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # the stop-shingle set is heavy-hitter-bounded (≤ |shingles| /
+    # max_shingle_freq rows) but still grows with the corpus — ~20M
+    # rows at 100 TB — so the broadcast hint is size-gated on the doc
+    # count instead of hard-coded; above the gate AQE decides
+    n_docs = docs.count()
+    sh = sh.join(_gate(hot, n_docs), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -150,11 +171,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # per-doc shingle counts are |docs| rows — unbounded at corpus
+    # scale, so the broadcast is size-gated (see BROADCAST_DOCS_GATE):
+    # hinted while the doc count is provably small, otherwise a plain
+    # shuffle join on the 8-byte doc_id that AQE may still convert
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
-        common.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        common.join(_gate(ca, n_docs), "id_a")
+        .join(_gate(cb, n_docs), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -359,12 +384,15 @@ def minhash_lsh_pairs(
             F.count("*").alias("n_common")
         )
     )
+    # per-doc counts are |docs| rows — unbounded, so the hint is
+    # size-gated on the metadata-only doc count (see BROADCAST_DOCS_GATE)
+    n_docs = docs.count()
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        common.join(_gate(ca, n_docs), "id_a")
+        .join(_gate(cb, n_docs), "id_b")
         .filter(jac >= 1.0 - max_distance)
         .select("id_a", "id_b", F.round(1.0 - jac, 6).alias("jaccard_dist"))
     )
