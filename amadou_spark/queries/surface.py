@@ -220,7 +220,8 @@ def q78_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS n_div_null,
+               CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_null,
                ROUND(SUM(CASE WHEN l_quantity = 25 THEN NULL
                               ELSE l_extendedprice / (l_quantity - 25) END), 2)
                    AS sum_price_per_excess
