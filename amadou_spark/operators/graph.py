@@ -10,9 +10,12 @@ tiny diameters (dup clusters are cliques or near-cliques), so this
 terminates in 2-4 rounds in practice. Each round is ONE shuffle join on
 the edge key plus a groupBy min — no driver-side graph materialization,
 so it scales to edge lists that don't fit on any single node. For
-adversarially long path graphs at planetary scale, the same loop slots
-in the large-star/small-star contraction (Kiveris et al., "Connected
-Components in MapReduce and Beyond") — the fixpoint check is identical.
+adversarially long path graphs, the diameter-independent
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond") is IMPLEMENTED as
+:func:`_star_fixpoint` — ``algorithm="auto"`` falls back to it when
+propagation hits its round cap unconverged, ``algorithm="star"`` runs
+it directly.
 
 The loop persists each round's labels and unpersists the previous
 round (lineage would otherwise grow linearly and re-run every prior
@@ -67,30 +70,130 @@ def _local_components(edges_rows) -> list:
     return [(n, find(n)) for n in parent]
 
 
+def _star_fixpoint(sym: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    diameter-independent distributed CC algorithm: O(log² n) rounds on
+    ANY graph shape, vs O(diameter) for min-label propagation.
+
+    Input: symmetrized distinct edge list (a, b). Output: (node,
+    cluster_id = min id of component) for every non-isolated node.
+
+    Per round (each op is a groupBy + equi-join — the same shuffle
+    shape as one propagation round, ~2× the stages):
+    - large-star: every neighbor v > u re-points to m(u) = min(Γ(u)∪{u});
+    - small-star: on the now larger→smaller directed list, every
+      neighbor (and u itself) re-points to u's min neighbor.
+    The edge list only ever shrinks toward the star forest (v, min);
+    fixpoint is detected by a (count, hash-sum) signature — one tiny
+    aggregate per round, no edge-list diff join.
+    """
+    e = (
+        sym.filter(F.col("a") > F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .distinct()
+    )
+    e.persist()
+    prev_sig = None
+    for _ in range(max_rounds):
+        s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = s.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        # large-star: (v, m(u)) for v ∈ Γ(u), v > u  (keeps u > v invariant)
+        ls = (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: neighbors are all < u here; point them and u at
+        # u's min neighbor
+        m2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = ls.join(m2, "u")
+        new_e = (
+            joined.filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(joined.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # localCheckpoint (eager) BOTH materializes the round and
+        # truncates lineage to a LogicalRDD. Plain persist is not
+        # enough in an iterative loop: each round's analyzed plan
+        # embeds the previous round's plan several times over (the
+        # cache substitutes only AFTER analysis), so plan-building
+        # time grows exponentially with rounds — measured 3 s → 152 s
+        # by round 3 on a 16-edge graph. On a cluster with executor
+        # churn, swap for a reliable checkpoint() + checkpoint dir.
+        new_e = new_e.localCheckpoint()
+        # signature = (count, XOR of per-edge hashes): order-insensitive,
+        # collision odds ~2⁻⁶⁴, and XOR can't overflow ANSI arithmetic
+        # (SUM of xxhash64 longs does)
+        row = new_e.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["c"], row["h"])
+        e.unpersist()
+        e = new_e
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        e.unpersist()
+        raise RuntimeError(
+            f"large-star/small-star did not reach a fixpoint in "
+            f"{max_rounds} rounds — not expected for any finite graph"
+        )
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )
+    labels.persist()
+    labels.count()
+    e.unpersist()
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     local_threshold: int = LOCAL_CC_MAX_EDGES,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Return (node, cluster_id) for every node in ``edges``, where
     cluster_id is the minimum node id in the node's connected
     component. Nodes with no edges are absent (callers union
     singletons back if they want total coverage).
 
-    Two physical strategies behind one contract, chosen by the real
-    edge cardinality (the same runtime-statistics decision AQE makes
-    for join strategies): ≤ ``local_threshold`` edges → driver-side
+    Physical strategies behind one contract, chosen by the real edge
+    cardinality (the same runtime-statistics decision AQE makes for
+    join strategies): ≤ ``local_threshold`` edges → driver-side
     union-find (the scheduling cost of even one distributed round
     exceeds solving the whole problem centrally); larger → iterative
-    min-label propagation, one edge-key shuffle per round."""
+    min-label propagation, one edge-key shuffle per round, O(diameter)
+    rounds — the cheap winner on near-dup graphs, whose components are
+    near-cliques with diameter 2-4.
+
+    ``algorithm``: ``"auto"`` (default) runs label propagation and, if
+    the graph's diameter exceeds ``max_iter`` rounds, falls back to the
+    diameter-independent large-star/small-star contraction
+    (:func:`_star_fixpoint`) instead of returning unconverged labels;
+    ``"star"`` skips straight to the contraction (pick it when the
+    graph is known to have long paths); ``"label"`` raises on
+    non-convergence rather than falling back (explicit-cost mode)."""
     # Materialize the directed edge list BEFORE the symmetric union reads
     # it twice: persist alone is not enough — the union's two branches can
     # run concurrently in one job, each missing the still-empty cache and
     # re-running the (possibly expensive) upstream pair-generation lineage,
     # e.g. a shingle self-join. The count also gives the edge cardinality
     # that sizes the loop's shuffle width.
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     directed.persist()
     n_edges = directed.count()
@@ -158,31 +261,57 @@ def connected_components(
     if n_edges <= CODEGEN_OFF_MAX_EDGES:
         spark.conf.set(cg_key, "false")
     try:
-        for _ in range(max_iter):
-            nbr_min = (
-                sym.join(labels, sym["b"] == labels["node"])
-                .groupBy("a")
-                .agg(F.min("label").alias("_nbr"))
-            )
-            # Keep the previous label alongside the new one so convergence
-            # is a filter-count on this same DataFrame — not a third join.
-            stepped = (
-                labels.select("node", F.col("label").alias("_old"))
-                .join(nbr_min, F.col("node") == F.col("a"), "left")
-                .select(
-                    "node",
-                    "_old",
-                    F.least(
-                        F.col("_old"), F.coalesce(F.col("_nbr"), F.col("_old"))
-                    ).alias("label"),
+        converged = False
+        if algorithm in ("auto", "label"):
+            for _ in range(max_iter):
+                nbr_min = (
+                    sym.join(labels, sym["b"] == labels["node"])
+                    .groupBy("a")
+                    .agg(F.min("label").alias("_nbr"))
                 )
-            )
-            stepped.persist()
-            changed = stepped.filter(F.col("label") != F.col("_old")).count()
+                # Keep the previous label alongside the new one so
+                # convergence is a filter-count on this same DataFrame —
+                # not a third join.
+                stepped = (
+                    labels.select("node", F.col("label").alias("_old"))
+                    .join(nbr_min, F.col("node") == F.col("a"), "left")
+                    .select(
+                        "node",
+                        "_old",
+                        F.least(
+                            F.col("_old"), F.coalesce(F.col("_nbr"), F.col("_old"))
+                        ).alias("label"),
+                    )
+                )
+                # eager localCheckpoint: materialize AND truncate
+                # lineage — persist alone leaves each round's analyzed
+                # plan containing the previous round's (cache pruning
+                # happens after analysis), which grows plan-build time
+                # exponentially over rounds (see _star_fixpoint note)
+                stepped = stepped.localCheckpoint()
+                changed = stepped.filter(F.col("label") != F.col("_old")).count()
+                labels.unpersist()
+                labels = stepped
+                if changed == 0:
+                    converged = True
+                    break
+        if not converged:
+            # Diameter > max_iter (or algorithm="star"): returning the
+            # partially-propagated labels would be silently WRONG, so
+            # switch to the diameter-independent contraction. Near-dup
+            # graphs never get here (clique-like, 2-4 rounds); long-path
+            # graphs pay the capped label rounds then O(log² n) more.
+            if algorithm == "label":
+                labels.unpersist()
+                raise RuntimeError(
+                    f"min-label propagation did not converge within "
+                    f"max_iter={max_iter} rounds (graph diameter too "
+                    "large); use algorithm='star' or 'auto'"
+                )
             labels.unpersist()
-            labels = stepped
-            if changed == 0:
-                break
+            labels = _star_fixpoint(sym).select(
+                "node", F.col("cluster_id").alias("label")
+            )
     finally:
         spark.conf.set(aqe_key, aqe_before)
         spark.conf.set(shuf_key, shuf_before)
@@ -330,8 +459,10 @@ def pagerank(
                         "outdeg",
                     )
                 )
-                stepped.persist()
-                stepped.count()
+                # eager localCheckpoint: materialize AND cut lineage so
+                # round r+1's plan doesn't embed round r's (exponential
+                # plan-analysis growth otherwise — see the CC loops)
+                stepped = stepped.localCheckpoint()
                 ranks.unpersist()
                 ranks = stepped
             e.unpersist()
@@ -366,8 +497,9 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            stepped.persist()
-            stepped.count()
+            # eager localCheckpoint — same lineage-cut as the broadcast
+            # loop above
+            stepped = stepped.localCheckpoint()
             ranks.unpersist()
             ranks = stepped
         withdeg.unpersist()

@@ -1070,8 +1070,9 @@ def llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="near-dup pairs → duplicate CLUSTERS via distributed "
     "connected components (iterative min-label propagation, one edge-key "
     "shuffle per round, O(component diameter) rounds — dup clusters are "
-    "near-cliques so it converges in 2-4; large-star/small-star slots into "
-    "the same loop for adversarial graphs). Completes the dedup story: "
+    "near-cliques so it converges in 2-4; the diameter-independent "
+    "large-star/small-star contraction is the implemented fallback for "
+    "adversarial graphs). Completes the dedup story: "
     "candidate pair → verify → cluster → one canonical keep-id per group. "
     "Oracle = DuckDB recursive-CTE transitive closure over the same "
     "3-gram-Jaccard>=0.5 edge set",

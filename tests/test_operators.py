@@ -380,6 +380,55 @@ def test_pagerank_matches_numpy_reference(spark, local_threshold):
     assert all(0 < v < 1 for v in got.values())
 
 
+def test_cc_star_matches_unionfind_on_random_graph(spark):
+    """large-star/small-star (distributed, forced via local_threshold=0)
+    must equal the driver union-find on a seeded random graph."""
+    import random
+
+    from amadou_spark.operators.graph import (
+        _local_components,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    pairs = list({
+        tuple(sorted(rng.sample(range(48), 2))) for _ in range(60)
+    })
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    want = dict(_local_components(pairs))
+    got = dict(
+        connected_components(
+            edges, local_threshold=0, algorithm="star"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_cc_long_path_fallback_converges(spark):
+    """A path graph's diameter exceeds the label-propagation round cap;
+    'auto' must fall back to the star contraction and return CORRECT
+    labels (the pre-r3 loop silently returned unconverged ones), and
+    'label' must refuse loudly."""
+    import pytest as _pytest
+
+    from amadou_spark.operators.graph import connected_components
+
+    n = 16
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = dict(
+        connected_components(
+            edges, local_threshold=0, max_iter=2, algorithm="auto"
+        ).collect()
+    )
+    assert got == {i: 0 for i in range(n + 1)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            edges, local_threshold=0, max_iter=2, algorithm="label"
+        ).collect()
+
+
 def test_pagerank_dangling_node_same_universe_both_paths(spark):
     """r2 ADVICE: an out-of-contract dangling node (only ever a dst)
     must be treated identically by the local numpy path and the
