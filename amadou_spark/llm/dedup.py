@@ -138,14 +138,23 @@ def ngram_jaccard_pairs(
     # join on a 64-bit shingle hash, not the string: the self-join
     # shuffle then carries 8-byte keys instead of ~n·word-length strings
     # (collision odds at xxhash64 width are ~|shingles|²/2⁶⁵ — nil).
-    # The .distinct() is both semantics (set Jaccard) AND the plan's
-    # sharing point: every downstream consumer (counts, stop-shingles,
-    # both self-join sides) reads the same Exchange, which Spark
-    # de-duplicates via ReusedExchange — the explode runs ONCE.
+    # The .distinct() is the set-Jaccard semantics; the eager
+    # localCheckpoint makes it the plan's sharing point OUTRIGHT: the
+    # scan+explode+distinct runs ONCE and every consumer (counts,
+    # stop-shingles, both self-join sides) reads the materialized
+    # blocks. ReusedExchange used to provide this for free when all
+    # consumers were shuffle joins, but broadcast-joined consumers read
+    # through BroadcastExchange subtrees that don't unify with the
+    # shuffle Exchange — without the checkpoint the explode re-runs
+    # per consumer (measured 8 explode instances in one plan).
+    # localCheckpoint blocks are executor-local (lost on executor
+    # death); on clusters with churn swap for checkpoint() + a
+    # checkpoint dir — same sharing, reliable storage.
     sh = (
         exploded_shingles(docs, text_col, n)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
+        .localCheckpoint()
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hot = (
@@ -244,7 +253,11 @@ def simhash_near_pairs(
     buckets per band, so bucket occupancy stays ~n/65,536 as the corpus
     grows — the self-join fan-out survives a 100× scale-up (8-bit bands
     cap at 256 buckets and degenerate toward quadratic)."""
-    sigs = simhash(docs, text_col)
+    # eager localCheckpoint: the signature computation (token explode +
+    # 64 conditional aggregates) would otherwise run twice — once per
+    # side of the band self-join (self-joins duplicate the subtree;
+    # only shuffle-exchange consumers get ReusedExchange sharing)
+    sigs = simhash(docs, text_col).localCheckpoint()
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -328,8 +341,11 @@ def minhash_lsh_pairs(
     n_bands = num_hashes // rows_per_band
     coeffs = minhash_coefficients(num_hashes, seed)
 
-    # (doc_id, x) distinct shingle hashes — the shared Exchange that
-    # counts, signatures and the verification join all reuse.
+    # (doc_id, x) distinct shingle hashes, eagerly materialized once
+    # (localCheckpoint) so counts, signatures and the verification join
+    # all read the same blocks instead of re-running the explode per
+    # consumer (see ngram_jaccard_pairs note: broadcast-joined
+    # consumers defeat ReusedExchange sharing).
     sh = (
         exploded_shingles(docs, text_col, n)
         .select(
@@ -337,6 +353,7 @@ def minhash_lsh_pairs(
             F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint").alias("x"),
         )
         .distinct()
+        .localCheckpoint()
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
