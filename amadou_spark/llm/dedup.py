@@ -101,20 +101,22 @@ def shingles(text: Column, n: int = 3) -> Column:
     return shingles_of(tokens(text), text, n)
 
 
-# Planning-time broadcast gate for join sides whose cardinality is
-# Θ(|docs|) or smaller (per-doc shingle counts, stop-shingle sets).
-# Same pattern as operators/graph.py's small_v gate: make the size
-# decision AQE would make, one stage EARLIER — a parquet count() is
-# metadata-only, and a planning-time broadcast spares the probe side
-# its entire shuffle map phase (AQE's runtime conversion still writes
-# the probe shuffle files before it can convert). ≤5M docs ≈ tens of
-# MB of (id, count) rows — comfortably broadcastable; above the gate
+# Planning-time broadcast gate for join sides with a provable row-count
+# bound (per-doc shingle counts are ≤ |docs|; the stop-shingle set is
+# ≤ |doc-shingle pairs|/max_shingle_freq). Same pattern as
+# operators/graph.py's small_v gate: make the size decision AQE would
+# make, one stage EARLIER — the bounding counts are cheap (parquet
+# metadata / checkpointed blocks), and a planning-time broadcast spares
+# the probe side its entire shuffle map phase (AQE's runtime conversion
+# still writes the probe shuffle files before it can convert). ≤5M
+# narrow rows ≈ tens of MB — comfortably broadcastable; above the gate
 # the joins stay unhinted and AQE picks from observed sizes.
-BROADCAST_DOCS_GATE = 5_000_000
+BROADCAST_ROWS_GATE = 5_000_000
 
 
-def _gate(df: DataFrame, n_docs: int) -> DataFrame:
-    return F.broadcast(df) if n_docs <= BROADCAST_DOCS_GATE else df
+def _gate(df: DataFrame, bound_rows: int) -> DataFrame:
+    """Hint broadcast iff a sound upper bound on df's rows fits the gate."""
+    return F.broadcast(df) if bound_rows <= BROADCAST_ROWS_GATE else df
 
 
 def ngram_jaccard_pairs(
@@ -163,12 +165,14 @@ def ngram_jaccard_pairs(
         .filter(F.col("freq") > max_shingle_freq)
         .select("shingle")
     )
-    # the stop-shingle set is heavy-hitter-bounded (≤ |shingles| /
-    # max_shingle_freq rows) but still grows with the corpus — ~20M
-    # rows at 100 TB — so the broadcast hint is size-gated on the doc
-    # count instead of hard-coded; above the gate AQE decides
+    # the stop-shingle set is bounded by |doc-shingle pairs| /
+    # max_shingle_freq — NOT by the doc count (a 5M-doc corpus with 10k
+    # shingles/doc admits tens of millions of hot rows), so gate its
+    # hint on its own sound bound. sh is checkpointed, so the count is
+    # a cheap scan of materialized blocks.
     n_docs = docs.count()
-    sh = sh.join(_gate(hot, n_docs), "shingle", "left_anti")
+    hot_bound = sh.count() // max_shingle_freq
+    sh = sh.join(_gate(hot, hot_bound), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -181,7 +185,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_common"))
     )
     # per-doc shingle counts are |docs| rows — unbounded at corpus
-    # scale, so the broadcast is size-gated (see BROADCAST_DOCS_GATE):
+    # scale, so the broadcast is size-gated (see BROADCAST_ROWS_GATE):
     # hinted while the doc count is provably small, otherwise a plain
     # shuffle join on the 8-byte doc_id that AQE may still convert
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
@@ -402,7 +406,7 @@ def minhash_lsh_pairs(
         )
     )
     # per-doc counts are |docs| rows — unbounded, so the hint is
-    # size-gated on the metadata-only doc count (see BROADCAST_DOCS_GATE)
+    # size-gated on the metadata-only doc count (see BROADCAST_ROWS_GATE)
     n_docs = docs.count()
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))

@@ -74,7 +74,11 @@ def cosine_topk_bruteforce(
     # the right tool ONLY for a small query set. A large |q| must go to
     # the sub-linear paths (LSH/IVF/PQ); failing loudly beats silently
     # broadcasting an unbounded query set into a row-multiplying join.
-    nq = queries.count()
+    # An explicit query_ids list already bounds |q| driver-side — only
+    # pay a count job when the query set is the whole corpus.
+    nq = (
+        len(query_ids) if query_ids is not None else queries.count()
+    )
     if nq > max_query_rows:
         raise ValueError(
             f"cosine_topk_bruteforce: query set has {nq} rows > "
@@ -401,9 +405,23 @@ def pq_topk(
         for i in range(0, len(qpdf), max_query_rows)
     ]
     if not parts:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
         spark = embeddings.sparkSession
+        id_t = embeddings.schema[id_col].dataType  # generic over id type
         empty = spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank bigint"
+            [],
+            StructType([
+                StructField("query_id", id_t),
+                StructField("neighbor_id", id_t),
+                StructField("cosine", DoubleType()),
+                StructField("rank", LongType()),
+            ]),
         )
         encoded.unpersist()
         return empty

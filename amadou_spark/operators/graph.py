@@ -70,6 +70,24 @@ def _local_components(edges_rows) -> list:
     return [(n, find(n)) for n in parent]
 
 
+def _release(df: DataFrame) -> None:
+    """Deterministically release a loop round's materialized blocks.
+
+    ``DataFrame.unpersist()`` frees CacheManager entries (plain
+    ``persist``) but is a no-op on a ``localCheckpoint``'d frame, whose
+    blocks live on an internal RDD that only the ContextCleaner frees —
+    after driver GC, i.e. not deterministically. Over many loop rounds
+    that pins every round's full table in executor storage. Poke the
+    LogicalRDD's rdd directly (no public API); if the internals move,
+    fall back to the GC path rather than failing the job.
+    """
+    df.unpersist()
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _star_fixpoint(sym: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Alternating large-star/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -135,25 +153,34 @@ def _star_fixpoint(sym: DataFrame, max_rounds: int = 40) -> DataFrame:
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).first()
         sig = (row["c"], row["h"])
-        e.unpersist()
+        _release(e)
         e = new_e
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
-        e.unpersist()
+        _release(e)
         raise RuntimeError(
             f"large-star/small-star did not reach a fixpoint in "
             f"{max_rounds} rounds — not expected for any finite graph"
         )
+    # Self-loop-only nodes were dropped by the a > b orientation but ARE
+    # "nodes in edges" under the contract (and both other strategies
+    # return them as their own singleton cluster) — union them back; the
+    # min-agg keeps the star label when such a node also has real edges.
+    loops = sym.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("a").alias("cluster_id")
+    )
     labels = (
         e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
-        .distinct()
+        .union(loops)
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )
     labels.persist()
     labels.count()
-    e.unpersist()
+    _release(e)
     return labels
 
 
@@ -227,11 +254,17 @@ def connected_components(
         directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().repartition(n_part, "b")
     sym.persist()
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).repartition(n_part, "node")
-    labels.persist()
-    labels.count()
+    if algorithm == "star":
+        # the propagation loop's label table would be discarded unused —
+        # just materialize sym before releasing the directed cache
+        labels = None
+        sym.count()
+    else:
+        labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        ).repartition(n_part, "node")
+        labels.persist()
+        labels.count()
     directed.unpersist()
     # AQE's per-exchange query-stage materialization adds whole jobs to
     # every round of this already-explicitly-partitioned loop; switch it
@@ -290,7 +323,7 @@ def connected_components(
                 # exponentially over rounds (see _star_fixpoint note)
                 stepped = stepped.localCheckpoint()
                 changed = stepped.filter(F.col("label") != F.col("_old")).count()
-                labels.unpersist()
+                _release(labels)
                 labels = stepped
                 if changed == 0:
                     converged = True
@@ -301,14 +334,15 @@ def connected_components(
             # switch to the diameter-independent contraction. Near-dup
             # graphs never get here (clique-like, 2-4 rounds); long-path
             # graphs pay the capped label rounds then O(log² n) more.
+            if labels is not None:
+                _release(labels)
             if algorithm == "label":
-                labels.unpersist()
+                sym.unpersist()
                 raise RuntimeError(
                     f"min-label propagation did not converge within "
                     f"max_iter={max_iter} rounds (graph diameter too "
                     "large); use algorithm='star' or 'auto'"
                 )
-            labels.unpersist()
             labels = _star_fixpoint(sym).select(
                 "node", F.col("cluster_id").alias("label")
             )
@@ -463,7 +497,7 @@ def pagerank(
                 # round r+1's plan doesn't embed round r's (exponential
                 # plan-analysis growth otherwise — see the CC loops)
                 stepped = stepped.localCheckpoint()
-                ranks.unpersist()
+                _release(ranks)
                 ranks = stepped
             e.unpersist()
             deg.unpersist()
@@ -500,7 +534,7 @@ def pagerank(
             # eager localCheckpoint — same lineage-cut as the broadcast
             # loop above
             stepped = stepped.localCheckpoint()
-            ranks.unpersist()
+            _release(ranks)
             ranks = stepped
         withdeg.unpersist()
         nodes.unpersist()

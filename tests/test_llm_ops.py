@@ -183,6 +183,24 @@ def test_pq_large_query_set_chunks_to_same_result(spark, sf_dir):
     assert [tuple(r) for r in single] == [tuple(r) for r in chunked]
 
 
+def test_pq_empty_query_set_keeps_id_type(spark):
+    """The empty-result branch must carry the same id type as the
+    non-empty path (generic over id_col), so unions across calls can't
+    hit a schema mismatch only in the empty case."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.llm.similarity import pq_topk
+
+    emb = spark.range(8).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(16)]).alias("embedding"),
+    )
+    out = pq_topk(emb, query_ids=["no_such_id"], m=4, k_sub=4, k=2)
+    assert out.count() == 0
+    assert out.schema["query_id"].dataType.simpleString() == "string"
+    assert out.schema["neighbor_id"].dataType.simpleString() == "string"
+
+
 def test_bruteforce_large_query_set_raises_contract_error(spark, sf_dir):
     """r2 VERDICT #5: brute force is |corpus|x|q| — a large query set
     must fail loudly with a pointer at the sub-linear paths instead of

@@ -404,6 +404,24 @@ def test_cc_star_matches_unionfind_on_random_graph(spark):
     assert got == want
 
 
+def test_cc_self_loop_node_all_strategies_agree(spark):
+    """A node whose only edge is a self-loop is 'a node in edges': the
+    local union-find, label propagation, and star contraction must all
+    return it as its own singleton cluster (the star path's a > b
+    orientation used to drop it)."""
+    from amadou_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(0, 1), (7, 7)], ["id_a", "id_b"])
+    expect = {0: 0, 1: 0, 7: 7}
+    for kwargs in (
+        {"local_threshold": 1_000},            # driver union-find
+        {"local_threshold": 0},                # label propagation
+        {"local_threshold": 0, "algorithm": "star"},
+    ):
+        got = dict(connected_components(edges, **kwargs).collect())
+        assert got == expect, kwargs
+
+
 def test_cc_long_path_fallback_converges(spark):
     """A path graph's diameter exceeds the label-propagation round cap;
     'auto' must fall back to the star contraction and return CORRECT
