@@ -25,7 +25,7 @@ REVIEW = {
     "q12_theta_join": "brand equality is the join key; p_size range is a residual filter (no cartesian)",
     "q17_ranking_windows": "two window specs share one shuffle+sort on o_custkey",
     "llm_dedup_minhash": "banded LSH: candidates from an equi-join on (band, sig rows); no cross join",
-    "llm_dedup_ngram_jaccard": "inverted-index self-join on 8-byte hashed shingles; distinct() Exchange shared via reuse; per-doc count joins size-gated (r3: hint only under the 5M-doc metadata gate, else AQE)",
+    "llm_dedup_ngram_jaccard": "inverted-index self-join on 8-byte hashed shingles; shingle set materialized ONCE (eager checkpoint — broadcast consumers defeat ReusedExchange) and count joins hinted only under a provable row-bound gate, else AQE",
     "llm_similarity_topk": "corpus scanned once; query side broadcast; JVM fold for the dot product",
     "q31_asof_join": "as-of = tag-union + last() window: ONE shuffle on the key, no range explosion",
     "llm_similarity_lsh": "signature+norm = one ArrowEvalPython (batched matmul); candidates from (band,value) equi-join",
