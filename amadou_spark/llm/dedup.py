@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from amadou_spark.llm.text import portable_token_hash, tokens
+from amadou_spark.scale import materialize_shared
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -149,15 +150,15 @@ def ngram_jaccard_pairs(
     # through BroadcastExchange subtrees that don't unify with the
     # shuffle Exchange — without the checkpoint the explode re-runs
     # per consumer (measured 8 explode instances in one plan).
-    # localCheckpoint blocks are executor-local (lost on executor
-    # death); on clusters with churn swap for checkpoint() + a
-    # checkpoint dir — same sharing, reliable storage.
+    # materialize_shared upgrades to a reliable checkpoint()
+    # automatically when the session has a checkpoint dir (cluster
+    # posture); executor-local localCheckpoint blocks otherwise.
     sh = (
         exploded_shingles(docs, text_col, n)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
-        .localCheckpoint()
     )
+    sh = materialize_shared(sh)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hot = (
         sh.groupBy("shingle")
@@ -261,7 +262,7 @@ def simhash_near_pairs(
     # 64 conditional aggregates) would otherwise run twice — once per
     # side of the band self-join (self-joins duplicate the subtree;
     # only shuffle-exchange consumers get ReusedExchange sharing)
-    sigs = simhash(docs, text_col).localCheckpoint()
+    sigs = materialize_shared(simhash(docs, text_col))
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -357,8 +358,8 @@ def minhash_lsh_pairs(
             F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint").alias("x"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    sh = materialize_shared(sh)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     sigs = sh.groupBy("doc_id").agg(

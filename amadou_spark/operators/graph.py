@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from amadou_spark.scale import materialize_shared
+
 # Below this many (directed) edges the component structure is solved
 # driver-side with a union-find over the collected edge list — the exact
 # analogue of a broadcast join's size gate: when one side of the problem
@@ -136,15 +138,15 @@ def _star_fixpoint(sym: DataFrame, max_rounds: int = 40) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # localCheckpoint (eager) BOTH materializes the round and
-        # truncates lineage to a LogicalRDD. Plain persist is not
-        # enough in an iterative loop: each round's analyzed plan
-        # embeds the previous round's plan several times over (the
-        # cache substitutes only AFTER analysis), so plan-building
-        # time grows exponentially with rounds — measured 3 s → 152 s
-        # by round 3 on a 16-edge graph. On a cluster with executor
-        # churn, swap for a reliable checkpoint() + checkpoint dir.
-        new_e = new_e.localCheckpoint()
+        # materialize_shared BOTH materializes the round and truncates
+        # lineage to a LogicalRDD. Plain persist is not enough in an
+        # iterative loop: each round's analyzed plan embeds the
+        # previous round's plan several times over (the cache
+        # substitutes only AFTER analysis), so plan-building time grows
+        # exponentially with rounds — measured 3 s → 152 s by round 3
+        # on a 16-edge graph. With a session checkpoint dir set it
+        # upgrades to a reliable checkpoint (executor-loss-safe).
+        new_e = materialize_shared(new_e)
         # signature = (count, XOR of per-edge hashes): order-insensitive,
         # collision odds ~2⁻⁶⁴, and XOR can't overflow ANSI arithmetic
         # (SUM of xxhash64 longs does)
@@ -321,7 +323,7 @@ def connected_components(
                 # plan containing the previous round's (cache pruning
                 # happens after analysis), which grows plan-build time
                 # exponentially over rounds (see _star_fixpoint note)
-                stepped = stepped.localCheckpoint()
+                stepped = materialize_shared(stepped)
                 changed = stepped.filter(F.col("label") != F.col("_old")).count()
                 _release(labels)
                 labels = stepped
@@ -496,7 +498,7 @@ def pagerank(
                 # eager localCheckpoint: materialize AND cut lineage so
                 # round r+1's plan doesn't embed round r's (exponential
                 # plan-analysis growth otherwise — see the CC loops)
-                stepped = stepped.localCheckpoint()
+                stepped = materialize_shared(stepped)
                 _release(ranks)
                 ranks = stepped
             e.unpersist()
@@ -533,7 +535,7 @@ def pagerank(
             )
             # eager localCheckpoint — same lineage-cut as the broadcast
             # loop above
-            stepped = stepped.localCheckpoint()
+            stepped = materialize_shared(stepped)
             _release(ranks)
             ranks = stepped
         withdeg.unpersist()

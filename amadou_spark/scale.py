@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def materialize_shared(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a DataFrame that multiple consumers will
+    read (shared subtrees in one plan, or rounds of an iterative loop),
+    returning a lineage-cut frame backed by the materialized blocks.
+
+    Uses a RELIABLE ``checkpoint()`` when the session has a checkpoint
+    dir configured (the cluster posture: blocks on the checkpoint
+    filesystem survive executor loss), else an eager
+    ``localCheckpoint()`` (single-node / test posture: executor-local
+    blocks, cheapest). Both truncate lineage — essential in iterative
+    loops, where persist alone leaves each round's analyzed plan
+    embedding the previous round's and plan-building grows
+    exponentially with rounds.
+    """
+    sc = df.sparkSession.sparkContext
+    has_dir = sc._jsc.sc().checkpointDir().isDefined()
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint()
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

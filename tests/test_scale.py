@@ -105,3 +105,18 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_materialize_shared_lineage_cut_and_values(spark):
+    """materialize_shared returns the same rows behind a lineage-cut
+    plan (LogicalRDD/checkpoint scan, no trace of the original scan),
+    so iterative loops can't accumulate exponentially-growing plans."""
+    from amadou_spark.scale import materialize_shared
+
+    df = spark.range(50).selectExpr("id", "id * 2 AS twice")
+    out = materialize_shared(df)
+    assert sorted(r.twice for r in out.collect()) == sorted(
+        r.twice for r in df.collect()
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "Range" not in analyzed, analyzed[:500]
