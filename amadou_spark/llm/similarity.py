@@ -384,7 +384,8 @@ def pq_topk(
             "neighbor_id",
             F.posexplode("s").alias("qpos", "adc_cosine"),
         )
-        qid_map = F.array(*[F.lit(int(q)) for q in qids])
+        # .tolist() yields plain Python scalars, so string ids work too
+        qid_map = F.array(*[F.lit(q) for q in qids.tolist()])
         return (
             scored.withColumn("query_id", F.get(qid_map, F.col("qpos")))
             .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -425,9 +426,9 @@ def pq_topk(
         )
         encoded.unpersist()
         return empty
-    shortlist = parts[0]
-    for p in parts[1:]:
-        shortlist = shortlist.unionAll(p)
+    from functools import reduce
+
+    shortlist = reduce(DataFrame.union, parts)
     # exact re-rank of the shortlist: join true vectors back (the
     # shortlist is |q|·k·factor rows); the query join is unhinted —
     # AQE broadcasts it while |q| is small and shuffles when it isn't

@@ -205,12 +205,10 @@ def test_bruteforce_large_query_set_raises_contract_error(spark, sf_dir):
     """r2 VERDICT #5: brute force is |corpus|x|q| — a large query set
     must fail loudly with a pointer at the sub-linear paths instead of
     silently broadcasting into a row-multiplying join."""
-    import pytest as _pytest
-
     from amadou_spark.catalog import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    with _pytest.raises(ValueError, match="max_query_rows"):
+    with pytest.raises(ValueError, match="max_query_rows"):
         cosine_topk_bruteforce(
             emb, query_ids=list(range(20)), k=3, max_query_rows=8
         )
