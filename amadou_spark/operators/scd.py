@@ -1,65 +1,147 @@
-"""SCD2 (slowly-changing-dimension type 2) merge, emulated without a
-table format (no Delta/Iceberg in the image — and the emulation is the
-portable shape anyway):
+"""Slowly-changing-dimension Type 2 maintenance over snapshots.
 
-    merged = unchanged current rows
-           ∪ closed-out rows (current versions of changed keys,
-             valid_to stamped)
-           ∪ new versions (incoming rows, valid_from stamped, open)
+The reference is an incremental ETL framework (per-date runs over
+partitioned inputs — ``core/.../SparkRunner.scala:91-109``'s backfill
+loop); the canonical dimension-maintenance step such pipelines need is
+SCD2: fold a day's full snapshot into a versioned history table where
+every key carries ``[valid_from, valid_to)`` half-open validity (the
+same convention as the framework's DateInterval calculus) and exactly
+one open row.
 
-Every branch is an equi-join/anti-join on the business key — one
-shuffle key throughout, no row-by-row merge. With Delta/Iceberg on the
-classpath the same logic becomes a single MERGE INTO; the seam is this
-function's signature."""
+Scale design (100 TB posture):
+- ONE equi-join on the business key per merge — current rows vs
+  snapshot, both sides reduced to (key, change-hash) before the join
+  decides anything, so the shuffle carries fixed-width hashes, not the
+  tracked payload;
+- change detection is a single sha2 over the tracked columns (computed
+  map-side on each side), never a column-by-column comparison join;
+- closed history (``valid_to IS NOT NULL``) is passed through untouched
+  — in a partitioned lakehouse layout (partition by is_current or
+  valid_to month) that branch prunes to zero I/O;
+- the snapshot side is usually the small side: AQE broadcast-converts
+  it from observed sizes (no forced hint — snapshots are unbounded in
+  general).
+"""
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-OPEN_END = "9999-12-31"
+_NULL_SENTINEL = "\x00<null>\x00"
 
 
-def scd2_merge(
-    current: DataFrame,
-    updates: DataFrame,
-    key: str,
-    tracked_cols: list[str],
-    effective_date: str,
+def _change_hash(cols: Sequence[str]) -> F.Column:
+    """Order-stable sha2 over the tracked columns; NULL is distinguished
+    from the empty string by a sentinel so NULL→'' transitions are seen."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    return F.sha2(F.concat_ws("\x01", *parts), 256)
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    snapshot_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    close_missing: bool = False,
 ) -> DataFrame:
-    """Apply `updates` (one row per key) to an SCD2 `current` table with
-    columns [key, *tracked_cols, valid_from, valid_to, is_current]."""
-    upd = updates.select(key, *tracked_cols)
+    """Fold one full snapshot into an SCD2 history table.
 
-    open_rows = current.filter(F.col("is_current"))
-    closed_rows = current.filter(~F.col("is_current"))
+    ``history`` columns: ``keys + tracked + [valid_from, valid_to]``
+    with ``valid_to IS NULL`` marking the open (current) version —
+    half-open ``[valid_from, valid_to)`` validity, one open row per key.
+    ``snapshot`` columns: ``keys + tracked`` (the full current state).
 
-    # explicit marker distinguishes "no update row" from "update with
-    # NULLs" — a NULL-vs-value comparison must not count as a change
-    # when the key simply received no update
-    upd_marked = upd.withColumn("_has_upd", F.lit(True))
-    change_cond = F.lit(False)
-    for c in tracked_cols:
-        change_cond = change_cond | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
-    change_cond = F.coalesce(F.col("upd._has_upd"), F.lit(False)) & change_cond
+    Per key:
+    - unchanged (same tracked values)      → open row passes through;
+    - changed                              → open row closes at
+      ``snapshot_ts``, a new open row starts at ``snapshot_ts``;
+    - new key                              → new open row;
+    - absent from the snapshot             → open row passes through,
+      or closes at ``snapshot_ts`` when ``close_missing=True`` (use
+      True for full snapshots where absence means deletion, False for
+      partial/delta feeds).
 
-    joined = open_rows.alias("cur").join(upd_marked.alias("upd"), key, "left")
-    unchanged = joined.filter(~change_cond).select("cur.*")
-    changed_keys = joined.filter(change_cond).select(F.col(key).alias("_k")).distinct()
+    Closed rows are immutable and never join. Deterministic: same
+    inputs + same ``snapshot_ts`` → identical output (idempotent —
+    re-applying the same snapshot changes nothing).
+    """
+    keys = list(keys)
+    tracked = list(tracked)
+    ts = F.lit(snapshot_ts).cast("timestamp")
 
-    closed_out = (
-        open_rows.join(changed_keys, open_rows[key] == F.col("_k"), "left_semi")
-        .withColumn("valid_to", F.lit(effective_date).cast("date"))
-        .withColumn("is_current", F.lit(False))
+    closed = history.filter(F.col(valid_to).isNotNull())
+    open_rows = history.filter(F.col(valid_to).isNull())
+
+    cur = open_rows.withColumn("_cur_hash", _change_hash(tracked))
+    snap = snapshot.select(
+        *keys, *tracked
+    ).withColumn("_snap_hash", _change_hash(tracked))
+
+    # one full-outer equi-join on the business key decides every case
+    cur_k = cur.select(*keys, "_cur_hash", valid_from, *tracked)
+    snap_k = snap.select(
+        *[F.col(c).alias(f"_s_{c}") for c in keys],
+        *[F.col(c).alias(f"_sv_{c}") for c in tracked],
+        "_snap_hash",
     )
-    brand_new = upd.join(open_rows, key, "left_anti")
-    new_versions = (
-        upd.join(changed_keys, upd[key] == F.col("_k"), "left_semi")
-        .unionByName(brand_new)
-        .withColumn("valid_from", F.lit(effective_date).cast("date"))
-        .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
-        .withColumn("is_current", F.lit(True))
+    cond = [F.col(k).eqNullSafe(F.col(f"_s_{k}")) for k in keys]
+    j = cur_k.join(snap_k, on=cond, how="full_outer")
+
+    in_cur = F.col("_cur_hash").isNotNull()
+    in_snap = F.col("_snap_hash").isNotNull()
+    changed = in_cur & in_snap & (F.col("_cur_hash") != F.col("_snap_hash"))
+
+    # surviving open rows: unchanged, or missing-from-snapshot when the
+    # feed is partial
+    keep_open = j.filter(
+        (in_cur & in_snap & ~changed)
+        | (in_cur & ~in_snap & F.lit(not close_missing))
+    ).select(
+        *keys, *tracked, valid_from, F.lit(None).cast("timestamp").alias(valid_to)
     )
-    return closed_rows.unionByName(unchanged).unionByName(closed_out).unionByName(
-        new_versions
+    # open rows that close at this snapshot
+    close_now = j.filter(
+        changed | (in_cur & ~in_snap & F.lit(close_missing))
+    ).select(*keys, *tracked, valid_from, ts.alias(valid_to))
+    # rows that open at this snapshot: changed values + brand-new keys
+    open_now = j.filter(changed | (~in_cur & in_snap)).select(
+        *[F.coalesce(F.col(f"_s_{k}"), F.col(k)).alias(k) for k in keys],
+        *[F.col(f"_sv_{c}").alias(c) for c in tracked],
+        ts.alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+    )
+
+    out_cols = keys + tracked + [valid_from, valid_to]
+    return (
+        closed.select(*out_cols)
+        .unionByName(keep_open)
+        .unionByName(close_now)
+        .unionByName(open_now)
+    )
+
+
+def scd2_current(history: DataFrame, valid_to: str = "valid_to") -> DataFrame:
+    """The dimension's current state: the open version of every key."""
+    return history.filter(F.col(valid_to).isNull())
+
+
+def scd2_as_of(
+    history: DataFrame,
+    ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time view: rows whose half-open validity contains ts."""
+    t = F.lit(ts).cast("timestamp")
+    return history.filter(
+        (F.col(valid_from) <= t)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
     )
