@@ -123,6 +123,34 @@ def assert_expectations(
     return df
 
 
+def check_referential(
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    dim_col: str,
+) -> DataFrame:
+    """Foreign-key expectation: rows of ``df`` whose ``col`` has no
+    match in ``dim.dim_col`` (NULLs pass — compose with rule_not_null).
+    One left-anti join on the key columns only (fixed-width shuffle;
+    AQE broadcasts the dim side when it fits). Returns the same
+    (rule, violations, total, pass) shape as check_expectations."""
+    spark = df.sparkSession
+    total = df.count()
+    orphans = (
+        df.select(F.col(col)).filter(F.col(col).isNotNull())
+        .join(
+            dim.select(F.col(dim_col).alias(col)).distinct(),
+            on=col,
+            how="left_anti",
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(f"references({col}->{dim_col})", orphans, total, orphans == 0)],
+        "rule string, violations long, total long, pass boolean",
+    )
+
+
 def combined_violation_filter(rules: list[Expectation]) -> Column:
     """Row-level OR of every rule — quarantine-split helper:
     ``bad = df.filter(combined); good = df.filter(~combined)``."""

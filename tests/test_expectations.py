@@ -84,6 +84,19 @@ def test_quarantine_split_partitions_rows(messy):
     assert sorted(r.email for r in good.collect()) == ["a@x.io", "c@x.io"]
 
 
+def test_referential_integrity(spark, sf_dir):
+    from amadou_spark.operators.expectations import check_referential
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    ok = check_referential(nation, "n_regionkey", region, "r_regionkey").collect()[0]
+    assert ok["pass"] and ok.violations == 0
+    # drop a region → its nations become orphans
+    partial = region.filter(F.col("r_regionkey") != 0)
+    bad = check_referential(nation, "n_regionkey", partial, "r_regionkey").collect()[0]
+    assert not bad["pass"] and bad.violations > 0
+
+
 def test_single_scan_for_row_rules(messy):
     """All row-level rules compile into one aggregate over one scan —
     the report query's plan contains exactly one table scan."""
