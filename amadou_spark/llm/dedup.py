@@ -447,3 +447,47 @@ def minhash_lsh_pairs_ml(
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test split assigned per DEDUP CLUSTER, not per doc.
+
+    A per-doc hash split puts near-duplicates of a training document
+    into the test set — silent train/test contamination that inflates
+    eval scores. Here every member of a near-dup cluster inherits the
+    split of its cluster representative: bucket = portable md5 hash of
+    the representative id, so membership is deterministic across
+    engines/runs/reshards (same property as the per-doc split) and no
+    cluster ever straddles a split boundary.
+
+    ``clusters``: (node, cluster_id) as produced by
+    :func:`amadou_spark.operators.graph.connected_components` over any
+    near-dup pair set; docs absent from it are singletons and hash on
+    their own id. One left join on the doc id (fixed-width keys; the
+    cluster table is |clustered docs| rows — usually the small side,
+    left to AQE) plus the same zero-state hash as the per-doc split.
+    """
+    rep = F.coalesce(F.col("cluster_id"), F.col(doc_col))
+    bucket = (
+        F.conv(F.substring(F.md5(rep.cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    cl = clusters.select(
+        F.col("node").alias(doc_col), F.col("cluster_id")
+    )
+    return (
+        docs.join(cl, doc_col, "left")
+        .withColumn(
+            "split",
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test"),
+        )
+        .drop("cluster_id")
+    )

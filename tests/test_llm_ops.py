@@ -367,3 +367,22 @@ def test_pack_sequences_budget_invariants(spark):
         assert r.seq_id == before // 64
         assert r.offset == before % 64
         by_shard[r.shard] = before + r.n_tokens
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, planted):
+    """Near-dup clusters must never straddle train/val/test — the
+    per-doc hash split can leak near-duplicates of training docs into
+    eval; the cluster-aware split cannot."""
+    from amadou_spark.llm.dedup import leakage_safe_split
+    from amadou_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(planted, min_jaccard=0.5).select("id_a", "id_b")
+    clusters = connected_components(pairs)
+    out = leakage_safe_split(planted, clusters)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    # docs 1,2,3 form one near-dup cluster -> identical split
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert set(split_of) == {1, 2, 3, 4, 5}
+    # deterministic across invocations
+    again = {r.doc_id: r.split for r in leakage_safe_split(planted, clusters).collect()}
+    assert split_of == again
