@@ -1,26 +1,18 @@
-"""Slowly-changing-dimension Type 2 maintenance over snapshots.
+"""Slowly-changing-dimension Type 2 maintenance.
 
-The reference is an incremental ETL framework (per-date runs over
-partitioned inputs — ``core/.../SparkRunner.scala:91-109``'s backfill
-loop); the canonical dimension-maintenance step such pipelines need is
-SCD2: fold a day's full snapshot into a versioned history table where
-every key carries ``[valid_from, valid_to)`` half-open validity (the
-same convention as the framework's DateInterval calculus) and exactly
-one open row.
+Two complementary shapes behind the same scale design (every branch an
+equi/anti-join on the business key — one shuffle key throughout, no
+row-by-row merge; with Delta/Iceberg on the classpath either becomes a
+single MERGE INTO, the seam is the function signature):
 
-Scale design (100 TB posture):
-- ONE equi-join on the business key per merge — current rows vs
-  snapshot, both sides reduced to (key, change-hash) before the join
-  decides anything, so the shuffle carries fixed-width hashes, not the
-  tracked payload;
-- change detection is a single sha2 over the tracked columns (computed
-  map-side on each side), never a column-by-column comparison join;
-- closed history (``valid_to IS NOT NULL``) is passed through untouched
-  — in a partitioned lakehouse layout (partition by is_current or
-  valid_to month) that branch prunes to zero I/O;
-- the snapshot side is usually the small side: AQE broadcast-converts
-  it from observed sizes (no forced hint — snapshots are unbounded in
-  general).
+- :func:`scd2_merge` — delta-feed style: apply an updates batch to a
+  [key, tracked..., valid_from, valid_to, is_current] table with a
+  9999-12-31 open sentinel; keys absent from the batch are untouched.
+- :func:`scd2_apply` — full-snapshot style: fold a complete snapshot
+  into a [keys..., tracked..., valid_from, valid_to] history with
+  half-open [valid_from, valid_to) validity (NULL = open), map-side
+  sha2 change hashes, optional close_missing for deletion semantics,
+  plus :func:`scd2_current` / :func:`scd2_as_of` views.
 """
 
 from __future__ import annotations
@@ -29,6 +21,53 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+OPEN_END = "9999-12-31"
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked_cols: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Apply `updates` (one row per key) to an SCD2 `current` table with
+    columns [key, *tracked_cols, valid_from, valid_to, is_current]."""
+    upd = updates.select(key, *tracked_cols)
+
+    open_rows = current.filter(F.col("is_current"))
+    closed_rows = current.filter(~F.col("is_current"))
+
+    # explicit marker distinguishes "no update row" from "update with
+    # NULLs" — a NULL-vs-value comparison must not count as a change
+    # when the key simply received no update
+    upd_marked = upd.withColumn("_has_upd", F.lit(True))
+    change_cond = F.lit(False)
+    for c in tracked_cols:
+        change_cond = change_cond | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+    change_cond = F.coalesce(F.col("upd._has_upd"), F.lit(False)) & change_cond
+
+    joined = open_rows.alias("cur").join(upd_marked.alias("upd"), key, "left")
+    unchanged = joined.filter(~change_cond).select("cur.*")
+    changed_keys = joined.filter(change_cond).select(F.col(key).alias("_k")).distinct()
+
+    closed_out = (
+        open_rows.join(changed_keys, open_rows[key] == F.col("_k"), "left_semi")
+        .withColumn("valid_to", F.lit(effective_date).cast("date"))
+        .withColumn("is_current", F.lit(False))
+    )
+    brand_new = upd.join(open_rows, key, "left_anti")
+    new_versions = (
+        upd.join(changed_keys, upd[key] == F.col("_k"), "left_semi")
+        .unionByName(brand_new)
+        .withColumn("valid_from", F.lit(effective_date).cast("date"))
+        .withColumn("valid_to", F.lit(OPEN_END).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return closed_rows.unionByName(unchanged).unionByName(closed_out).unionByName(
+        new_versions
+    )
+
 
 _NULL_SENTINEL = "\x00<null>\x00"
 
