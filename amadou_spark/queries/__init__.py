@@ -95,6 +95,15 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
+# Round-4 registration queue (registry held frozen in r3 while the
+# driver-check backlog drains — VERDICT r2 #1). Once CORRECTNESS_r03
+# lands, register with oracles, ranked AFTER the remaining backlog:
+#   - operators/scd.py: scd2_apply / scd2_merge over a snapshot-pair
+#     derived from orders (oracle: CASE-driven full-outer join SQL)
+#   - operators/expectations.py: check_expectations over lineitem
+#     (oracle: one SELECT of conditional counts)
+#   - llm/dedup.py: leakage_safe_split on documents + ngram clusters
+#     (oracle: md5-bucket CASE over the recursive-CTE cluster min)
 def _backlog_rank(name: str) -> tuple[int, str]:
     """Explicit drain order for the driver-unchecked backlog
     (VERDICT r2 'Next round' #1): the SURVEY §2.2 normative core first.
