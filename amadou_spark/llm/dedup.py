@@ -169,9 +169,12 @@ def ngram_jaccard_pairs(
     # the stop-shingle set is bounded by |doc-shingle pairs| /
     # max_shingle_freq — NOT by the doc count (a 5M-doc corpus with 10k
     # shingles/doc admits tens of millions of hot rows), so gate its
-    # hint on its own sound bound. sh is checkpointed, so the count is
-    # a cheap scan of materialized blocks.
-    n_docs = docs.count()
+    # hint on its own sound bound. Both bounds derive from the
+    # CHECKPOINTED sh (cheap scans of materialized blocks):
+    # |distinct doc_id in sh| == |counts| <= |docs|, so it soundly
+    # bounds the counts-side broadcast without re-running the full
+    # upstream docs lineage a second time (docs itself is uncached).
+    n_docs = sh.select("doc_id").distinct().count()
     hot_bound = sh.count() // max_shingle_freq
     sh = sh.join(_gate(hot, hot_bound), "shingle", "left_anti")
     a = sh.alias("a")
@@ -407,8 +410,10 @@ def minhash_lsh_pairs(
         )
     )
     # per-doc counts are |docs| rows — unbounded, so the hint is
-    # size-gated on the metadata-only doc count (see BROADCAST_ROWS_GATE)
-    n_docs = docs.count()
+    # size-gated (see BROADCAST_ROWS_GATE); the bound comes from the
+    # checkpointed sh (|distinct doc_id| == |counts| <= |docs|), not a
+    # second full scan of the uncached docs lineage
+    n_docs = sh.select("doc_id").distinct().count()
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))

@@ -354,7 +354,22 @@ def pq_topk(
     # the closure and the per-batch score matrix at max_query_rows
     # queries: a larger query set costs one corpus scoring pass per
     # chunk instead of silently building an unbounded LUT tensor.
-    qpdf = queries.toPandas()
+    # The query set is pulled to the driver in BOUNDED increments
+    # (toLocalIterator streams one partition at a time — driver memory
+    # is O(largest partition + one chunk), never O(|q|) of full
+    # vectors): with query_ids=None the query side is the whole corpus,
+    # and a single toPandas() would land every embedding on the driver
+    # before the chunk loop could bound anything.
+    def _query_chunks():
+        buf: list[dict] = []
+        for row in queries.toLocalIterator():
+            buf.append(row.asDict())
+            if len(buf) == max_query_rows:
+                yield pd.DataFrame(buf)
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf)
+
     shortlist_n = k * shortlist_factor
 
     def _chunk_shortlist(chunk: pd.DataFrame) -> DataFrame:
@@ -401,10 +416,7 @@ def pq_topk(
             .select("query_id", "neighbor_id")
         )
 
-    parts = [
-        _chunk_shortlist(qpdf.iloc[i : i + max_query_rows])
-        for i in range(0, len(qpdf), max_query_rows)
-    ]
+    parts = [_chunk_shortlist(chunk) for chunk in _query_chunks()]
     if not parts:
         from pyspark.sql.types import (
             DoubleType,

@@ -85,7 +85,26 @@ def _release(df: DataFrame) -> None:
     """
     df.unpersist()
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+        jrdd.unpersist(False)
+        # Reliable-checkpoint posture: unpersist frees the blocks but
+        # NOT the checkpoint files — ContextCleaner only deletes those
+        # with cleanCheckpoints=true, after driver GC. A loop writes one
+        # checkpoint per round, so delete the released round's files
+        # eagerly (best-effort; the session default
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true is the
+        # backstop if the internals move).
+        cp = jrdd.getCheckpointFile()
+        if cp.isDefined():
+            jvm = df.sparkSession._jvm
+            path = jvm.org.apache.hadoop.fs.Path(cp.get())
+            fs = path.getFileSystem(
+                df.sparkSession._jsc.hadoopConfiguration()
+            )
+            # getCheckpointFile is the per-RDD directory (rdd-<id>/):
+            # delete exactly it — its parent holds OTHER live RDDs'
+            # checkpoints for this session
+            fs.delete(path, True)
     except Exception:
         pass
 

@@ -69,16 +69,26 @@ def scd2_merge(
     )
 
 
-_NULL_SENTINEL = "\x00<null>\x00"
+# 64 chars outside sha2's hex alphabet — cannot collide with any real
+# per-column digest, so NULL is distinguished from every string value
+# (including the empty string and strings that look like digests)
+_NULL_HASH = "x" * 64
 
 
 def _change_hash(cols: Sequence[str]) -> F.Column:
-    """Order-stable sha2 over the tracked columns; NULL is distinguished
-    from the empty string by a sentinel so NULL→'' transitions are seen."""
+    """Order-stable sha2 over the tracked columns.
+
+    Each column is hashed INDEPENDENTLY and the fixed-width (64 hex
+    char) digests are concatenated before the outer sha2 — separator-
+    free and unambiguous: values containing any separator byte can
+    never shift content across column boundaries (a ``concat_ws``
+    scheme lets ``('a\\x01b', 'c')`` hash equal to ``('a', 'b\\x01c')``
+    and silently miss a real change)."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+        F.coalesce(F.sha2(F.col(c).cast("string"), 256), F.lit(_NULL_HASH))
+        for c in cols
     ]
-    return F.sha2(F.concat_ws("\x01", *parts), 256)
+    return F.sha2(F.concat(*parts), 256)
 
 
 def scd2_apply(
@@ -90,6 +100,7 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     close_missing: bool = False,
+    check_unique: bool = True,
 ) -> DataFrame:
     """Fold one full snapshot into an SCD2 history table.
 
@@ -118,6 +129,37 @@ def scd2_apply(
 
     closed = history.filter(F.col(valid_to).isNotNull())
     open_rows = history.filter(F.col(valid_to).isNull())
+
+    if check_unique:
+        # Integrity gate: the full-outer join below assumes ONE open row
+        # per key in history and ONE row per key in the snapshot — a
+        # duplicate on either side fans the join out and silently writes
+        # several open rows per key, permanently corrupting the
+        # one-open-row invariant that scd2_current and every later apply
+        # depend on. One key-only shuffle job (fixed-width keys, payload
+        # never moves); disable only when the caller guarantees
+        # uniqueness upstream.
+        dups = (
+            open_rows.select(*keys).withColumn("_side", F.lit("history(open)"))
+            .unionByName(
+                snapshot.select(*keys).withColumn("_side", F.lit("snapshot"))
+            )
+            .groupBy("_side", *keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dups:
+            shown = ", ".join(
+                f"{r['_side']}:{[r[k] for k in keys]}×{r['_n']}" for r in dups
+            )
+            raise ValueError(
+                "scd2_apply: duplicate business keys would fan out the "
+                f"full-outer join and corrupt the history — {shown}. "
+                "Dedup deterministically upstream or pass "
+                "check_unique=False if uniqueness is guaranteed."
+            )
 
     cur = open_rows.withColumn("_cur_hash", _change_hash(tracked))
     snap = snapshot.select(

@@ -81,6 +81,34 @@ def check_query(
     o_cols = [d[0] for d in cur.description]
     o_rows = cur.fetchall()
 
+    # Hash-divergence armor (VERDICT r3 #7): our multiset compare
+    # canonicalizes -0.0 == +0.0, but the DRIVER's value hash does not —
+    # b04_grouped_zscore failed a round solely because DuckDB's C-style
+    # ROUND preserves the sign of -0.0 while Spark's BigDecimal round
+    # emits +0.0. Flag ANY negative zero on EITHER engine so the class
+    # of bug is caught locally before a driver row burns a round. Fix
+    # pattern: append `+ 0.0` to the rounded oracle expression (IEEE
+    # -0.0 + 0.0 = +0.0), and avoid Spark-side exprs that keep the sign.
+    negzero = [
+        engine
+        for engine, rows in (("spark", s_rows), ("oracle", o_rows))
+        if any(
+            isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+            for r in rows
+            for v in r
+        )
+    ]
+    if negzero:
+        return CheckResult(
+            name,
+            False,
+            f"negative zero emitted by {negzero}: the driver's hash "
+            "distinguishes -0.0 from +0.0 — normalize with `+ 0.0` "
+            "(oracle) / avoid sign-preserving rounding (spark)",
+            len(s_rows),
+            len(o_rows),
+        )
+
     if sorted(s_cols) != sorted(o_cols):
         return CheckResult(
             name, False, f"column mismatch: spark={s_cols} oracle={o_cols}",

@@ -51,10 +51,10 @@ def query(
     return deco
 
 
-# Names that already have a green row in the driver's CORRECTNESS_r01.json /
-# CORRECTNESS_r02.json artifacts.  The per-round driver artifact caps at 50
-# entries, so `all_queries()` yields never-driver-checked entries FIRST and
-# these last: with a capped sweep this maximizes cumulative driver coverage.
+# Names that already have a green row in the driver's CORRECTNESS_r01..r03
+# artifacts.  The per-round driver artifact caps at 50 entries, so
+# `all_queries()` yields never-driver-checked entries FIRST and these last:
+# with a capped sweep this maximizes cumulative driver coverage.
 _DRIVER_CHECKED = frozenset({
     # round 1
     "llm_dedup_embedding_cosine", "llm_dedup_exact", "llm_dedup_minhash",
@@ -92,18 +92,30 @@ _DRIVER_CHECKED = frozenset({
     "q71_winsorized_mean", "q72_group_by_all", "q73_snapshot_diff",
     "q74_intersect_all", "q74b_except_all", "q75_union_by_name",
     "q76_null_safe_join",
+    # round 3 (b04_grouped_zscore deliberately excluded: hash_match=false,
+    # must re-run after the -0.0 oracle fix; b05_* excluded: converted from
+    # rows-only to full hash-checkable oracles in r4, need a fresh row)
+    "q17_ranking_windows", "q18_analytic_windows", "q19_top_k",
+    "q20_sort_nulls", "q21_except", "q21_intersect", "q21_union",
+    "q21_union_all", "q22_in_subquery", "q22_scalar_subquery",
+    "q23_correlated_subquery", "q24_string_functions", "q25_math_functions",
+    "q26_datetime_functions", "q27_conditional", "q28_cast_matrix",
+    "q29_tpch_q3", "q29_tpch_q5", "q30_events_daily", "q30_events_gaps",
+    "b01_array_higher_order", "b01_array_ops", "b01_collect_list_sorted",
+    "b01_explode_tokens", "b02_map_ops", "b03_from_json_agg",
+    "b03_json_extract", "b03_variant", "b04_pandas_udaf",
+    "b04_pandas_udf_scalar", "b04_python_udf", "b06_sliding_batch",
+    "b06_tumbling_stream", "b07_session_windows", "b07_stateful_counts",
+    "b07_stream_dedup", "b08_stream_static_join", "b09_stream_stream_join",
+    "q69_skew_profile", "q39_tpch_q4", "q40_tpch_q7", "q41_tpch_q8",
+    "q42_tpch_q9", "q43_tpch_q10", "q44_tpch_q11", "q45_tpch_q14",
+    "q46_tpch_q15",
 })
 
 
-# Round-4 registration queue (registry held frozen in r3 while the
-# driver-check backlog drains — VERDICT r2 #1). Once CORRECTNESS_r03
-# lands, register with oracles, ranked AFTER the remaining backlog:
-#   - operators/scd.py: scd2_apply / scd2_merge over a snapshot-pair
-#     derived from orders (oracle: CASE-driven full-outer join SQL)
-#   - operators/expectations.py: check_expectations over lineitem
-#     (oracle: one SELECT of conditional counts)
-#   - llm/dedup.py: leakage_safe_split on documents + ngram clusters
-#     (oracle: md5-bucket CASE over the recursive-CTE cluster min)
+# Round-4: the r3 built-ahead operators are now registered with full
+# oracles — q89_scd2_apply / q90_expectations (queries/governance.py)
+# and llm_split_leakage_safe (queries/llm_ops.py).
 def _backlog_rank(name: str) -> tuple[int, str]:
     """Explicit drain order for the driver-unchecked backlog
     (VERDICT r2 'Next round' #1): the SURVEY §2.2 normative core first.
@@ -164,6 +176,7 @@ def _load() -> None:
         curation,
         extensions,
         frontier,
+        governance,
         layout,
         lines,
         llm_ops,

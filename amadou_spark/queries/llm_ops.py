@@ -565,6 +565,144 @@ def llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_split_leakage_safe",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), ok AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT id_a, id_b FROM common
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+        ), sym AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ), walk AS (
+            SELECT a AS src, b AS node FROM sym
+            UNION
+            SELECT w.src, s.b FROM walk w JOIN sym s ON w.node = s.a
+        ), cl AS (
+            SELECT src AS doc_id, LEAST(src, MIN(node)) AS cluster_id
+            FROM walk GROUP BY src
+        )
+        SELECT doc_id, lang,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT d.doc_id, d.lang,
+                   CAST(('0x' || substring(md5(CAST(
+                       COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 AS b
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        )
+        ORDER BY doc_id
+    """,
+    description="leakage-safe train/val/test split (llm/dedup.py "
+    "leakage_safe_split): every member of a near-dup cluster inherits "
+    "the split of its cluster representative (min doc_id via connected "
+    "components over the 3-gram-Jaccard>=0.5 edge set), so no cluster "
+    "ever straddles a split boundary — a per-doc hash split would put "
+    "near-duplicates of training docs into test (silent contamination "
+    "that inflates eval). One left join on the doc id plus the same "
+    "portable md5 bucket as llm_split_train_val_test. Oracle = "
+    "recursive-CTE transitive closure + the same md5-bucket CASE over "
+    "the cluster-min representative",
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.dedup import leakage_safe_split
+    from amadou_spark.operators.graph import connected_components
+
+    t = register_tables(spark, sf_dir)
+    edges = ngram_jaccard_pairs(
+        t["documents"], min_jaccard=0.5, max_shingle_freq=1000
+    ).select("id_a", "id_b")
+    clusters = connected_components(edges)
+    return leakage_safe_split(
+        t["documents"].select("doc_id", "lang"), clusters
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_url_dedup",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://WWW.' || source || '.Example.com/Page/'
+                   || CAST(doc_id % 50 AS VARCHAR)
+                   || '/?utm_source=feed&session=s' || CAST(doc_id AS VARCHAR)
+                   || '&ref=rss#frag' AS url
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(lower(url), '#.*$', '', 'g'),
+                       '(utm_[a-z]+|session|ref)=[^&#]*&?', '', 'g'),
+                       '[?&]+$', '', 'g'),
+                       '//www\\.', '//', 'g'),
+                       '/$', '', 'g') AS canonical_url
+            FROM u
+        )
+        SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        FROM c GROUP BY canonical_url ORDER BY canonical_url
+    """,
+    description="URL canonicalization + dedup (the first dedup pass of "
+    "every web-scale crawl pipeline — cheaper than any content "
+    "comparison): lowercase, strip fragment, strip tracking params "
+    "(utm_*/session/ref), strip www. and trailing slash, then group by "
+    "canonical URL keeping the min doc_id. The corpus has no URL "
+    "column, so a deterministic doc-derived URL is planted first (same "
+    "pattern as llm_pii_redact) — collisions on (source, doc_id%50) "
+    "make the dedup non-degenerate. All JVM-side regex on one scan + "
+    "one hash agg with map-side combine; zero joins",
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.com/Page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&session=s"),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=rss#frag"),
+    )
+    canon = F.lower(url)
+    canon = F.regexp_replace(canon, "#.*$", "")
+    canon = F.regexp_replace(canon, "(utm_[a-z]+|session|ref)=[^&#]*&?", "")
+    canon = F.regexp_replace(canon, "[?&]+$", "")
+    canon = F.regexp_replace(canon, "//www\\.", "//")
+    canon = F.regexp_replace(canon, "/$", "")
+    return (
+        t["documents"]
+        .select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .orderBy("canonical_url")
+    )
+
+
+@query(
     "llm_sample_stratified",
     oracle=f"""
         SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn

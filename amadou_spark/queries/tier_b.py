@@ -259,9 +259,11 @@ def b04_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                ROUND((value - AVG(value) OVER (PARTITION BY user_id))
-                     / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0), 2) AS zscore
+                     / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0), 2)
+               + 0.0 AS zscore
         FROM events ORDER BY event_id
     """,
+
     description="grouped-map applyInPandas (per-group pandas DataFrame) "
     "computing per-user z-scores; oracle = window AVG/STDDEV",
 )
@@ -293,36 +295,74 @@ def b04_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b05_approx_count_distinct",
-    oracle=None,  # approximate → tolerance-checked in tests, not hash-checked
-    description="HyperLogLog++ distinct estimate per event_type (exactness "
-    "tolerance pinned by tests vs exact count)",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="HyperLogLog++ distinct estimate per event_type, made "
+    "hash-checkable: the query returns the EXACT distinct count (which "
+    "DuckDB recomputes) plus a Spark-side boolean asserting the HLL "
+    "estimate is within 5% relative error of it — so the driver's hash "
+    "check now covers approximation quality, not just row counts",
 )
 def b05_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    return (
+    agg = (
         t["events"]
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        .orderBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
     )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    ) <= F.lit(0.05)
+    return agg.select(
+        "event_type", "exact_users", within.alias("within_tol")
+    ).orderBy("event_type")
 
 
 @query(
     "b05_percentile_approx",
-    oracle=None,
-    description="approximate percentiles of event value per type",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 2) + 0.0 AS exact_p50,
+               ROUND(quantile_cont(value, 0.9), 2) + 0.0 AS exact_p90,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="approximate percentiles of event value per type, made "
+    "hash-checkable: returns the EXACT interpolated percentiles (both "
+    "engines implement SQL percentile_cont semantics) plus a Spark-side "
+    "within_tol asserting the KLL/GK approx answers sit within 5% "
+    "relative error",
 )
 def b05_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    return (
+    agg = (
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.5, 10000).alias("a50"),
+            F.percentile_approx("value", 0.9, 10000).alias("a90"),
+            F.percentile("value", F.lit(0.5)).alias("e50"),
+            F.percentile("value", F.lit(0.9)).alias("e90"),
         )
-        .orderBy("event_type")
     )
+    def _tol(a, e):  # |approx-exact| <= max(5% of |exact|, tiny abs floor)
+        return F.abs(F.col(a) - F.col(e)) <= F.greatest(
+            F.lit(0.05) * F.abs(F.col(e)), F.lit(1e-6)
+        )
+    return agg.select(
+        "event_type",
+        F.round("e50", 2).alias("exact_p50"),
+        F.round("e90", 2).alias("exact_p90"),
+        (_tol("a50", "e50") & _tol("a90", "e90")).alias("within_tol"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------- B06/B07 streaming

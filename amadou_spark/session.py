@@ -31,6 +31,12 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    # Iterative operators (CC, PageRank) cut lineage with checkpoints
+    # every round; without this the ContextCleaner never deletes
+    # reliable-checkpoint files and long runs accumulate unbounded
+    # checkpoint-filesystem usage (we also delete eagerly in
+    # operators/graph.py _release — this is the GC-path backstop).
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     # local mode = driver-only: this is the whole memory budget. Sized
     # for the 128 GiB container; override with SPARK_GRAFT_DRIVER_MEM.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),

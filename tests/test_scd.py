@@ -112,6 +112,48 @@ def test_null_transitions_are_detected(spark):
     assert len(nulls) == 1 and nulls[0].valid_to is None  # unchanged
 
 
+def test_duplicate_snapshot_keys_rejected(spark, day1):
+    """A duplicate business key would fan out the full-outer join and
+    break the one-open-row invariant — the guard must refuse loudly."""
+    snap = spark.createDataFrame(
+        [(1, "paris", "gold"), (1, "berlin", "gold")],
+        "id long, city string, tier string",
+    )
+    with pytest.raises(ValueError, match="duplicate business keys"):
+        scd2_apply(day1, snap, KEYS, TRACKED, "2024-01-02 00:00:00")
+    # and the escape hatch still works for callers who guarantee it
+    scd2_apply(
+        day1,
+        snap.dropDuplicates(["id"]),
+        KEYS,
+        TRACKED,
+        "2024-01-02 00:00:00",
+        check_unique=True,
+    ).collect()
+
+
+def test_change_hash_no_separator_ambiguity(spark, day1):
+    """Values containing the old separator byte must not alias across
+    column boundaries: ('a\\x01b', 'c') -> ('a', 'b\\x01c') is a REAL
+    change and must produce a new version."""
+    s1 = spark.createDataFrame(
+        [(9, "a\x01b", "c")], "id long, city string, tier string"
+    )
+    empty = spark.createDataFrame(
+        [], "id long, city string, tier string, "
+        "valid_from timestamp, valid_to timestamp"
+    )
+    h1 = scd2_apply(empty, s1, KEYS, TRACKED, "2024-01-01 00:00:00")
+    s2 = spark.createDataFrame(
+        [(9, "a", "b\x01c")], "id long, city string, tier string"
+    )
+    h2 = scd2_apply(h1, s2, KEYS, TRACKED, "2024-01-02 00:00:00")
+    rows = h2.collect()
+    assert len(rows) == 2  # closed old + open new, not "unchanged"
+    (open_row,) = [r for r in rows if r.valid_to is None]
+    assert open_row.city == "a" and open_row.tier == "b\x01c"
+
+
 def test_as_of_point_in_time(spark, day1):
     snap2 = spark.createDataFrame(
         [(1, "berlin", "gold"), (2, "lyon", "silver"), (3, "nice", "bronze")],

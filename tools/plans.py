@@ -47,6 +47,10 @@ REVIEW = {
     "b03_variant": "parse_json once, typed variant_get paths — single scan, filter applied post-projection",
     "llm_dedup_lines": "dup-chunk join UNHINTED (r3): text never enters an exchange; AQE picks broadcast vs shuffle from observed dup-set size",
     "llm_quality_unigram_logprob": "vocab join UNHINTED (r3): Heaps'-law vocab can't be force-broadcast; only the 1-row total is hinted",
+    "q89_scd2_apply": "SCD2 fold = ONE full-outer equi-join on the business key; change detection via map-side sha2 hashes (no per-column compare shuffle)",
+    "q91_scd2_merge": "delta merge: every branch an equi/anti-join on the same key — one shuffle partitioning reused across the union legs",
+    "q92_cdc_compaction": "latest-per-key via max_by partial agg: each partition reduces to one candidate per key BEFORE the shuffle (no window sort of all versions)",
+    "llm_url_dedup": "canonicalization is chained JVM regex on one scan; dedup is one hash agg with map-side combine — zero joins",
 }
 
 
