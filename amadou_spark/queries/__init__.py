@@ -59,7 +59,9 @@ _DRIVER_CHECKED = frozenset({
     # round 1
     "llm_dedup_embedding_cosine", "llm_dedup_exact", "llm_dedup_minhash",
     "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_dedup_simhash_pairs",
-    "llm_multimodal_features", "llm_multimodal_frames", "llm_multimodal_meta",
+    "llm_multimodal_frames", "llm_multimodal_meta",
+    # (llm_multimodal_features removed r4: converted rows-only → full
+    # oracle, needs a fresh driver row)
     "llm_pipeline_training_data", "llm_similarity_ivf", "llm_similarity_lsh",
     "llm_similarity_topk", "llm_text_fingerprint", "llm_text_langid",
     "llm_text_stats", "q01_scan_projection", "q02_filter_in_between",
@@ -85,7 +87,8 @@ _DRIVER_CHECKED = frozenset({
     "llm_similarity_pq", "llm_split_train_val_test", "llm_text_tfidf",
     "llm_text_top_ngrams", "q15b_cube", "q15c_grouping_sets",
     "q39b_incremental_rollup", "q57_funnel", "q58_cohort_retention",
-    "q59_resample_gapfill", "q60_cms_frequency", "q61_hll_mergeable",
+    "q59_resample_gapfill", "q60_cms_frequency",
+    # (q61_hll_mergeable removed r4: converted rows-only → full oracle)
     "q62_zorder_cells", "q63_kl_drift", "q63_recursive_cte", "q64_histogram",
     "q64_xml_roundtrip", "q65_python_udtf", "q66_lateral_topk",
     "q67_interval_join", "q68_event_transitions", "q70_pagerank",
@@ -180,6 +183,7 @@ def _load() -> None:
         layout,
         lines,
         llm_ops,
+        scale_ops,
         sketches,
         surface,
         tier_a,

@@ -289,6 +289,90 @@ def llm_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(t["embeddings"], query_ids=list(range(20)), k=5)
 
 
+#: 32 fixed query vectors for the ANN recall gates (vec_id is dense
+#: 0..N-1 at every sf, so these exist everywhere).
+_RECALL_QIDS = list(range(32))
+
+_RECALL_ORACLE = "SELECT CAST(32 AS BIGINT) AS n_queries, TRUE AS recall_ok"
+
+
+def _recall_check(exact: DataFrame, approx: DataFrame, threshold: float) -> DataFrame:
+    """One-row (n_queries, recall_ok) frame: recall@k of ``approx``
+    against the brute-force ``exact`` top-k, thresholded. The ANN
+    neighbor LISTS are engine-specific (no SQL oracle can reproduce
+    them), but the recall BOUND is a deterministic, hash-checkable
+    claim — the same trick as b05's within_tol. Thresholds sit well
+    under the measured recall at every sf (seeded pipelines →
+    reproducible)."""
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct("query_id").alias("n_queries"),
+    )
+    return hits.crossJoin(totals).select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        (F.col("hits") / F.col("total") >= F.lit(threshold)).alias("recall_ok"),
+    )
+
+
+@query(
+    "llm_similarity_lsh_recall",
+    oracle=_RECALL_ORACLE,
+    description="hash-checkable recall gate for the LSH ANN path: "
+    "recall@5 over 32 queries vs brute force must be >= 0.8 (measured "
+    "0.96-1.0 across sf0.001/0.01/0.1; hyperplanes are seeded so the "
+    "number is reproducible). Puts ANN quality under the driver's hash "
+    "gate instead of pytest alone",
+)
+def llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    exact = cosine_topk_bruteforce(t["embeddings"], query_ids=_RECALL_QIDS, k=5)
+    approx = cosine_topk_lsh(
+        t["embeddings"], query_ids=_RECALL_QIDS, k=5, n_planes=16, n_bands=8
+    )
+    return _recall_check(exact, approx, 0.8)
+
+
+@query(
+    "llm_similarity_ivf_recall",
+    oracle=_RECALL_ORACLE,
+    description="hash-checkable recall gate for the IVF ANN path: "
+    "recall@5 over 32 queries vs brute force must be >= 0.6 (measured "
+    "0.75-0.78 across sfs; the k-means quantizer trains on a seeded "
+    "sample)",
+)
+def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.similarity import cosine_topk_ivf
+
+    t = register_tables(spark, sf_dir)
+    exact = cosine_topk_bruteforce(t["embeddings"], query_ids=_RECALL_QIDS, k=5)
+    approx = cosine_topk_ivf(
+        t["embeddings"], query_ids=_RECALL_QIDS, k=5, n_lists=16, n_probe=6
+    )
+    return _recall_check(exact, approx, 0.6)
+
+
+@query(
+    "llm_similarity_pq_recall",
+    oracle=_RECALL_ORACLE,
+    description="hash-checkable recall gate for the PQ-ADC path: "
+    "recall@5 over 32 queries vs brute force must be >= 0.6 (measured "
+    "0.72-0.89 across sfs; codebooks train on a seeded sample and the "
+    "shortlist re-ranks exactly)",
+)
+def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.similarity import pq_topk
+
+    t = register_tables(spark, sf_dir)
+    exact = cosine_topk_bruteforce(t["embeddings"], query_ids=_RECALL_QIDS, k=5)
+    approx = pq_topk(t["embeddings"], query_ids=_RECALL_QIDS, k=5)
+    return _recall_check(exact, approx, 0.6)
+
+
 # ---------------------------------------------------------------- text analysis
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -401,10 +485,19 @@ def llm_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_multimodal_features",
-    oracle=None,  # mapInPandas stub decode — Arrow plumbing, not SQL
+    oracle="""
+        SELECT doc_id,
+               'image' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               ROUND(unicode(text) / 255.0, 6) AS f0
+        FROM documents ORDER BY doc_id
+    """,
     description="decode/feature-extract via mapInPandas (Arrow-batched); codec "
     "is a deterministic stub (no image libs in container) — schema, batching "
-    "and partition plumbing are real",
+    "and partition plumbing are real. Hash-checkable (r4): the stub's first "
+    "feature is byte[0]/255, which for the ASCII corpus the oracle recomputes "
+    "as unicode(text)/255 — so the Arrow round-trip, batching and schema are "
+    "under the driver's hash gate, not just a row count",
 )
 def llm_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)

@@ -70,17 +70,44 @@ def q60_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q61_hll_mergeable",
-    oracle=None,  # estimates are approximate; tolerance pinned by pytest
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT NULL, COUNT(DISTINCT user_id), TRUE FROM events
+        ORDER BY day NULLS LAST
+    """,
     description="incremental distinct users via mergeable HLL sketches "
     "(Apache DataSketches builtins): per-day hll_sketch_agg(user_id) "
     "then hll_union_agg across days for the all-time figure — the "
     "per-day sketches are a few KB each and union associatively, so a "
     "date-range distinct count at 100 TB reads sketches, not events. "
-    "Output: one row per day plus a NULL-day total row. Tolerance vs "
-    "exact COUNT(DISTINCT) is pinned in tests/test_operators.py",
+    "Output: one row per day plus a NULL-day total row. Hash-checkable "
+    "(r4): returns the EXACT distinct count plus a Spark-side boolean "
+    "asserting the HLL estimate sits within 5% of it, so the driver's "
+    "hash gate covers sketch quality (was rows-only)",
 )
 def q61_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    return hll_rolling_estimate(hll_daily(t["events"])).orderBy(
-        F.col("day").asc_nulls_last()
+    est = hll_rolling_estimate(hll_daily(t["events"]))
+    per_day = (
+        t["events"]
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    total = t["events"].agg(
+        F.count_distinct("user_id").alias("exact_users")
+    ).select(F.lit(None).cast("date").alias("day"), "exact_users")
+    exact = per_day.unionByName(total)
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    ) <= F.lit(0.05)
+    return (
+        est.join(exact, est["day"].eqNullSafe(exact["day"]))
+        .select(est["day"], "exact_users", within.alias("within_tol"))
+        .orderBy(F.col("day").asc_nulls_last())
     )

@@ -104,6 +104,21 @@ def write_bucketed(
     bucketed the same way need NO shuffle (and no sort, if sorted).
     Buckets land in the session catalog (saveAsTable — bucketing
     metadata lives in the metastore, not plain files)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    # A PREVIOUS session's table leaves its warehouse directory behind
+    # with no catalog entry in the new session; saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS even under mode=overwrite. Remove the
+    # orphaned location via the Hadoop FS API (portable to any FS).
+    try:
+        jvm = spark._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table_name)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:
+        pass  # best-effort; saveAsTable raises a clear error if blocked
     writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
