@@ -51,6 +51,9 @@ REVIEW = {
     "q91_scd2_merge": "delta merge: every branch an equi/anti-join on the same key — one shuffle partitioning reused across the union legs",
     "q92_cdc_compaction": "latest-per-key via max_by partial agg: each partition reduces to one candidate per key BEFORE the shuffle (no window sort of all versions)",
     "llm_url_dedup": "canonicalization is chained JVM regex on one scan; dedup is one hash agg with map-side combine — zero joins",
+    "q93_salted_join": "hot key spread over 8 salt partitions; replication is an explode AFTER the scan (other side scanned once)",
+    "q94_bucketed_join": "both sides pre-bucketed on the join key (SelectedBucketsCount in scan): the sort-merge path needs NO Exchange of either table — pinned in tests/test_scale.py with broadcast off; at this sf AQE correctly broadcasts the small side instead, and either way the fact never shuffles",
+    "q95_salted_aggregate": "two-phase agg: (key, salt) partials spread the hot group before the final key-only re-aggregation",
 }
 
 
