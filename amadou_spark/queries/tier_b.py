@@ -313,7 +313,11 @@ def b05_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            # rsd=0.01: the default 0.05 relative standard deviation can
+            # legitimately exceed the 5% within_tol gate at a few
+            # thousand distinct (measured 1400 vs 1500 exact at sf0.1);
+            # at 1% rsd the estimate is within 0.5% at every sf
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
             F.count_distinct("user_id").alias("exact_users"),
         )
     )
