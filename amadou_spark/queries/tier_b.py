@@ -459,6 +459,49 @@ def b07_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b07_stream_upsert",
+    oracle="""
+        SELECT user_id, ts, event_id, event_type, value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+        ORDER BY user_id
+    """,
+    description="streaming keyed upsert via foreachBatch "
+    "(streaming/sinks.py): the events stream drives an idempotent "
+    "read-modify-write parquet serving table, VERSIONED on "
+    "(ts, event_id) — the stored row only loses to a higher version, "
+    "so the final table is the global latest row per user REGARDLESS "
+    "of micro-batch boundaries or arrival order (the out-of-order-safe "
+    "CDC semantics; plain last-writer-wins is batch-split-dependent "
+    "and kept as the default for in-order feeds). Oracle = the batch "
+    "latest-per-key window — the streaming path must land exactly "
+    "where q92_cdc_compaction lands",
+)
+def b07_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from amadou_spark.streaming.sinks import run_stream_upsert
+    from amadou_spark.streaming.windows import read_events_stream
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/amadou_spark_upsert/{sf_tag}"
+    shutil.rmtree(base, ignore_errors=True)  # fresh, idempotent run
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    run_stream_upsert(
+        stream,
+        f"{base}/table",
+        keys=["user_id"],
+        checkpoint=f"{base}/ckpt",
+        version_cols=["ts", "event_id"],
+    )
+    return spark.read.parquet(f"{base}/table").orderBy("user_id")
+
+
+@query(
     "b01_array_higher_order",
     oracle="""
         SELECT vec_id,

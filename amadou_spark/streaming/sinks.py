@@ -26,29 +26,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def upsert_batch(spark: SparkSession, path: str, keys: list[str]) -> Callable:
+def upsert_batch(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    version_cols: list[str] | None = None,
+) -> Callable:
     """Return a foreachBatch function that merges each micro-batch into
-    the parquet dir at ``path``: last-writer-wins per key, with the
-    batch deduplicated on the keys first (one micro-batch can carry
-    several versions of a key; the max-ts row wins, ties by max over
-    the remaining columns for determinism)."""
+    the parquet dir at ``path``.
+
+    ``version_cols=None`` (default): last-writer-wins per key — a key
+    in a later micro-batch replaces the stored row, with the batch
+    deduplicated on the keys first (max over the non-key struct for
+    determinism). Correct when the stream is in event order.
+
+    ``version_cols=[...]``: versioned upsert — the stored row only
+    loses to an incoming row with a HIGHER version (lexicographic over
+    the version columns). The final table is then the global latest
+    row per key REGARDLESS of how the source was split into
+    micro-batches or whether batches arrive out of order — the safe
+    semantics for real CDC feeds, and deterministic enough to
+    oracle-check (see b07_stream_upsert)."""
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        # per-batch dedup: keep one row per key (latest by all non-key
-        # columns' struct order — deterministic regardless of partition
-        # layout)
+        # per-batch dedup: keep one row per key (latest by version
+        # columns first, then the remaining non-key columns' struct
+        # order — deterministic regardless of partition layout)
         others = [c for c in batch.columns if c not in keys]
-        latest = (
-            batch.groupBy(*keys)
-            .agg(F.max(F.struct(*others)).alias("_v"))
-            .select(*keys, "_v.*")
-        )
+        vcols = list(version_cols or [])
+        rest = [c for c in others if c not in vcols]
+
+        def latest_of(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy(*keys)
+                .agg(F.max(F.struct(*vcols, *rest)).alias("_v"))
+                .select(*keys, "_v.*")
+            )
+
+        latest = latest_of(batch)
         if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)
         ):
             current = spark.read.parquet(path)
-            kept = current.join(latest.select(*keys), keys, "left_anti")
-            merged = kept.unionByName(latest)
+            if version_cols:
+                # versioned merge: existing and incoming compete on the
+                # version struct — one key-only shuffle over the union
+                merged = latest_of(
+                    current.select(latest.columns).unionByName(latest)
+                )
+            else:
+                kept = current.join(latest.select(*keys), keys, "left_anti")
+                merged = kept.unionByName(latest)
         else:
             merged = latest
         # write to a staging dir then swap: the source dir is being read
@@ -69,6 +97,7 @@ def run_stream_upsert(
     path: str,
     keys: list[str],
     checkpoint: str,
+    version_cols: list[str] | None = None,
 ) -> None:
     """Drive a (finite) stream through the upsert sink to completion —
     availableNow processes all pending input in micro-batches, then
@@ -76,7 +105,9 @@ def run_stream_upsert(
     incremental-refresh deployment shape)."""
     spark = stream_df.sparkSession
     q = (
-        stream_df.writeStream.foreachBatch(upsert_batch(spark, path, keys))
+        stream_df.writeStream.foreachBatch(
+            upsert_batch(spark, path, keys, version_cols)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -228,3 +228,34 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
         assert row["n_events"] == n, uid
         assert abs(row["total_value"] - t) < 0.05, uid
     spark.catalog.dropTempView(name)
+
+
+def test_foreachbatch_upsert_versioned_survives_out_of_order(spark, tmp_path):
+    """version_cols merge: a LATER micro-batch carrying an OLDER version
+    must NOT clobber the stored row (last-writer-wins would) — the
+    final table is the global max-version row per key regardless of
+    batch boundaries."""
+    from amadou_spark.streaming.sinks import run_stream_upsert
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file 1: the NEWEST version of k=1; file 2 (a later micro-batch):
+    # an older, stale version of k=1 plus a new key
+    spark.createDataFrame(
+        [(1, 20, "new")], "k INT, ver INT, payload STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, 10, "stale"), (2, 10, "b")], "k INT, ver INT, payload STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k INT, ver INT, payload STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_upsert(stream, table, ["k"], ckpt, version_cols=["ver"])
+
+    rows = {r.k: (r.ver, r.payload) for r in spark.read.parquet(table).collect()}
+    assert rows == {1: (20, "new"), 2: (10, "b")}
