@@ -224,3 +224,103 @@ def pack_sequences(
             (F.col("_before") % budget).cast("bigint").alias("offset"),
         )
     )
+
+
+#: Symbol separator for BPE merge learning. The documents corpus is
+#: pure ``[a-z0-9 ]`` (asserted by tests), so U+00B7 can never occur
+#: inside a symbol and ``·a·b·`` unambiguously delimits the pair (a,b).
+BPE_SEP = "·"
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from a corpus: the
+    iterative heart of BPE vocabulary induction (Sennrich et al. 2016).
+
+    Distributed design — the same shape fastBPE / HF trainers use:
+
+    1. Collapse the corpus to a WORD-FREQUENCY table (one explode +
+       groupBy).  At 100 TB the corpus is billions of rows but the
+       distinct-word table is orders of magnitude smaller, and every
+       later round touches only that table, weighted by ``cnt``.
+    2. Each round: count adjacent symbol pairs (array slice + zip_with,
+       no windows), partial-aggregate map-side, take the global argmax
+       (``ORDER BY n DESC, s1, s2 LIMIT 1`` — the tie-break makes the
+       learned table deterministic), and apply the merge corpus-wide
+       with one literal ``replace`` over the separator-delimited symbol
+       string.  The argmax is a 1-row collect — the iterative control
+       decision, like a convergence check — while all heavy work stays
+       distributed.
+    3. ``materialize_shared`` cuts lineage per round so the plan does
+       not grow with ``num_merges`` (same fix as the CC/PageRank loops).
+
+    Merge semantics: one left-to-right non-overlapping ``replace`` pass
+    per rule.  For runs of a self-adjacent pair (``aaaa`` under rule
+    ``a+a``) this can group differently from canonical leftmost-greedy
+    BPE (both engines' ``replace`` resume scanning AFTER the emitted
+    replacement), but Spark and DuckDB agree exactly — pinned by the
+    oracle hash and a dedicated pytest — and the statistic driving the
+    next round is identical in both engines.
+
+    Returns one row per learned rule: (merge_rank, left_sym, right_sym,
+    merged, pair_count).
+    """
+    from amadou_spark.scale import materialize_shared
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # "low" -> "·l·o·w·": every symbol wrapped in separators.
+    vocab = materialize_shared(
+        words.withColumn(
+            "repr",
+            F.concat(
+                F.lit(BPE_SEP),
+                F.regexp_replace(F.col("word"), "(.)", "$1" + BPE_SEP),
+            ),
+        )
+    )
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        syms = F.filter(
+            F.split(F.col("repr"), BPE_SEP), lambda x: x != F.lit("")
+        )
+        n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(syms, 1, n_pairs),
+            F.slice(syms, 2, n_pairs),
+            lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+        )
+        top = (
+            vocab.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "s1", "s2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((rank, row.s1, row.s2, row.s1 + row.s2, row.n))
+        pat = BPE_SEP + row.s1 + BPE_SEP + row.s2 + BPE_SEP
+        rep = BPE_SEP + row.s1 + row.s2 + BPE_SEP
+        vocab = materialize_shared(
+            vocab.withColumn(
+                "repr", F.replace(F.col("repr"), F.lit(pat), F.lit(rep))
+            )
+        )
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )

@@ -206,6 +206,92 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 6
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    """Unrolled DuckDB mirror of ``bpe_learn_merges``: each round is a
+    (pair-count, argmax, replace) CTE block over the previous round's
+    word-frequency vocab. ``replace`` in both engines is one
+    left-to-right non-overlapping pass, so the corpora stay
+    bit-identical round to round; SUM(cnt) is cast back to BIGINT
+    (DuckDB sums BIGINT into HUGEINT, which the driver hash rejects)."""
+    blocks = [
+        """
+        WITH words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word
+        ), v0 AS (
+            SELECT word, cnt,
+                   '\u00b7' || regexp_replace(word, '(.)', '\\1\u00b7', 'g')
+                       AS repr
+            FROM words
+        )"""
+    ]
+    for r in range(1, num_merges + 1):
+        blocks.append(
+            f""", p{r} AS (
+            SELECT s.sym AS s1,
+                   lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
+                       AS s2,
+                   s.cnt
+            FROM (
+                SELECT word, cnt,
+                       unnest(list_filter(string_split(repr, '\u00b7'),
+                                          x -> x <> '')) AS sym,
+                       generate_subscripts(
+                           list_filter(string_split(repr, '\u00b7'),
+                                       x -> x <> ''), 1) AS pos
+                FROM v{r - 1}
+            ) s
+        ), a{r} AS (
+            SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM p{r} WHERE s2 IS NOT NULL
+            GROUP BY s1, s2 ORDER BY n DESC, s1, s2 LIMIT 1
+        ), v{r} AS (
+            SELECT v.word, v.cnt,
+                   replace(v.repr,
+                           '\u00b7' || a.s1 || '\u00b7' || a.s2 || '\u00b7',
+                           '\u00b7' || a.s1 || a.s2 || '\u00b7') AS repr
+            FROM v{r - 1} v, a{r} a
+        )"""
+        )
+    union = "\n            UNION ALL\n".join(
+        f"""            SELECT {r} AS merge_rank, s1 AS left_sym,
+                   s2 AS right_sym, s1 || s2 AS merged, n AS pair_count
+            FROM a{r}"""
+        for r in range(1, num_merges + 1)
+    )
+    blocks.append(
+        f"""
+        SELECT * FROM (
+{union}
+        ) ORDER BY merge_rank"""
+    )
+    return "".join(blocks)
+
+
+@query(
+    "llm_bpe_learn_merges",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    description="full BPE vocabulary induction loop (Sennrich 2016): "
+    "corpus collapses to a word-frequency table once, then each round "
+    "counts adjacent symbol pairs (slice+zip_with, map-side combine), "
+    "takes a deterministic global argmax, and applies the merge with "
+    "one literal replace; lineage is cut per round. The argmax is the "
+    "only driver action (1 row/round) — at 100 TB the rounds iterate "
+    "over the distinct-word table, not the corpus",
+    tags=("llm", "tokenizer", "iterative"),
+)
+def llm_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import bpe_learn_merges
+
+    t = register_tables(spark, sf_dir)
+    return bpe_learn_merges(t["documents"], num_merges=_BPE_MERGES)
+
+
 @query(
     "q72_group_by_all",
     oracle="""

@@ -386,3 +386,46 @@ def test_leakage_safe_split_keeps_clusters_together(spark, planted):
     # deterministic across invocations
     again = {r.doc_id: r.split for r in leakage_safe_split(planted, clusters).collect()}
     assert split_of == again
+
+
+def test_bpe_learn_merges_planted_corpus(spark):
+    """BPE merge learning on a corpus with hand-computable statistics:
+    'low' x5 + 'lower' x2 -> the first merge must be (l,o) with support
+    7, and after it the symbol table contains 'lo' so round 2's argmax
+    is (lo,w) with support 7. Also pins the run-grouping semantics:
+    both engines' replace passes resume AFTER the replacement."""
+    from amadou_spark.llm.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["low"] * 5)), ("d2", " ".join(["lower"] * 2))],
+        "doc_id string, text string",
+    )
+    out = bpe_learn_merges(docs, num_merges=3).collect()
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in out] == [
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "r", 2),
+    ]
+    assert [r.merged for r in out] == ["lo", "low", "er"]
+    assert [r.merge_rank for r in out] == [1, 2, 3]
+
+
+def test_bpe_learn_merges_run_semantics_match_duckdb(spark):
+    """Self-adjacent pair runs ('aaaa' under rule a+a) are where one
+    replace pass can differ from canonical leftmost-greedy BPE; pin
+    that Spark and DuckDB group them IDENTICALLY so the oracle hash
+    holds on any corpus."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    s = "·a·a·a·a·a·"
+    got = (
+        spark.range(1)
+        .select(F.replace(F.lit(s), F.lit("·a·a·"), F.lit("·aa·")).alias("x"))
+        .collect()[0]
+        .x
+    )
+    want = duckdb.sql(
+        "SELECT replace('·a·a·a·a·a·', '·a·a·', '·aa·')"
+    ).fetchone()[0]
+    assert got == want
