@@ -429,3 +429,28 @@ def test_bpe_learn_merges_run_semantics_match_duckdb(spark):
         "SELECT replace('·a·a·a·a·a·', '·a·a·', '·aa·')"
     ).fetchone()[0]
     assert got == want
+
+
+def test_triangle_stats_planted_graph(spark):
+    """K4 (4 triangles, clustering 1.0) plus a pendant edge lowers
+    clustering to 12/15 = 0.8; self-loops and duplicate/reversed edges
+    must not inflate any count."""
+    from amadou_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 4), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+    assert row.clustering == 0.8
+
+
+def test_triangle_stats_wedge_free_graph(spark):
+    """A single edge has no wedges: clustering must be NULL, not a
+    division error."""
+    from amadou_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([(1, 2)], "u int, v int")
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (2, 1, 0)
+    assert row.clustering is None
