@@ -650,3 +650,63 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
         ).alias("clustering"),
     )
+
+
+def bfs_levels(
+    edges: DataFrame, max_depth: int = 4, source: int | None = None
+) -> DataFrame:
+    """Single-source BFS levels over an undirected graph, bounded at
+    ``max_depth`` rounds.
+
+    ``edges`` has columns (u, v); ``source`` defaults to the smallest
+    node id (deterministic at any scale factor). Returns (node BIGINT,
+    level INT) for every node within ``max_depth`` hops, where level is
+    the minimal hop distance.
+
+    Frontier-expansion shape — the distributed BFS that survives wide
+    graphs: each round is ONE equi-join of the current frontier against
+    the symmetrized edge list plus an anti-join against the visited
+    set, so per-round cost is O(frontier-adjacent edges), never
+    O(paths) (a path-enumerating recursion explodes combinatorially on
+    dense graphs; the visited anti-join is what keeps this linear).
+    Rounds cut lineage via materialize_shared like the CC/PageRank
+    loops; the loop exits early when a frontier is exhausted.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(
+            F.least("u", "v").cast("bigint").alias("u"),
+            F.greatest("u", "v").cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    sym = materialize_shared(sym)
+    if source is None:
+        source = sym.agg(F.min("src")).collect()[0][0]  # 1-row control
+    visited = materialize_shared(
+        spark.createDataFrame([(int(source), 0)], "node long, level int")
+    )
+    frontier = visited
+    for lvl in range(1, max_depth + 1):
+        nxt = materialize_shared(
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = materialize_shared(visited.union(nxt))
+        frontier = nxt
+    return visited.orderBy("node")

@@ -602,6 +602,64 @@ def q96_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q97_bfs_levels",
+    oracle="""
+        WITH RECURSIVE pl AS (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 5 = 0
+        ),
+        e0 AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst
+            FROM e0
+            UNION ALL
+            SELECT CAST(v AS BIGINT), CAST(u AS BIGINT) FROM e0
+        ),
+        bfs(node, lvl) AS (
+            SELECT (SELECT MIN(src) FROM sym), 0
+            UNION
+            SELECT sym.dst, bfs.lvl + 1
+            FROM bfs JOIN sym ON bfs.node = sym.src
+            WHERE bfs.lvl < 4
+        )
+        SELECT node, CAST(MIN(lvl) AS INT) AS level
+        FROM bfs GROUP BY node ORDER BY node
+    """,
+    description="single-source BFS levels (4 hops) over the sampled "
+    "part co-order graph, from the smallest node id. Spark side is "
+    "frontier expansion — per round one frontier-edge equi-join plus a "
+    "visited anti-join, cost O(frontier edges) — NOT path enumeration, "
+    "which the dense graph would explode combinatorially; the oracle's "
+    "recursive CTE stays safe only because UNION-mode recursion dedups "
+    "(node, level) pairs globally",
+    tags=("graph", "iterative"),
+)
+def q97_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.graph import bfs_levels
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    return bfs_levels(edges, max_depth=4)
+
+
+@query(
     "q69_skew_profile",
     oracle="""
         WITH k AS (

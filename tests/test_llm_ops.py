@@ -454,3 +454,26 @@ def test_triangle_stats_wedge_free_graph(spark):
     row = triangle_stats(df).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (2, 1, 0)
     assert row.clustering is None
+
+
+def test_bfs_levels_planted_path(spark):
+    """Path 1-2-3-4-5-6 from source 1 with max_depth=3 reaches only
+    nodes 1..4; a disconnected edge (10,11) must never appear."""
+    from amadou_spark.operators.graph import bfs_levels
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {(r.node, r.level) for r in bfs_levels(df, max_depth=3).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_levels_early_exit_and_min_level(spark):
+    """Triangle + tail: node 3 is reachable at hops 1 (direct) and 2
+    (via 2) — level must be the minimum; frontier drains before
+    max_depth so the loop exits early."""
+    from amadou_spark.operators.graph import bfs_levels
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {(r.node, r.level) for r in bfs_levels(df, max_depth=10).collect()}
+    assert got == {(1, 0), (2, 1), (3, 1), (4, 2)}
