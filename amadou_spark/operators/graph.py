@@ -710,3 +710,52 @@ def bfs_levels(
         visited = materialize_shared(visited.union(nxt))
         frontier = nxt
     return visited.orderBy("node")
+
+
+def kcore(edges: DataFrame, k: int = 14, max_rounds: int = 8) -> DataFrame:
+    """Iterative k-core peeling: repeatedly drop nodes with degree < k
+    (and their edges) until fixpoint or ``max_rounds``. Returns the
+    surviving (node BIGINT, degree BIGINT) table — the subgraph where
+    every node keeps >= k neighbors once converged.
+
+    The peeling shape at scale: each round is one endpoint-explode
+    degree aggregation plus two semi-joins restricting the edge list to
+    surviving nodes — all equi-joins on node ids, partial-aggregated
+    map-side, nothing driver-resident. The edge list only shrinks, so
+    round cost is monotonically decreasing; the loop exits as soon as a
+    round removes nothing (a fixpoint round is also a no-op in the
+    unrolled oracle, so early exit cannot diverge from it). Lineage is
+    cut per round like the CC/PageRank/BFS loops.
+    """
+    e = (
+        edges.select(
+            F.least("u", "v").cast("bigint").alias("u"),
+            F.greatest("u", "v").cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = materialize_shared(e)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        new_e = materialize_shared(
+            e.join(keep, e["u"] == keep["node"], "left_semi").join(
+                keep, F.col("v") == keep["node"], "left_semi"
+            )
+        )
+        n_new = new_e.count()
+        if n_new == n_edges:
+            break
+        e, n_edges = new_e, n_new
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .orderBy("node")
+    )

@@ -659,6 +659,86 @@ def q97_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, max_depth=4)
 
 
+_KCORE_K = 14
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled DuckDB mirror of ``kcore``: per round a degree
+    aggregation, a survivor filter, and two semi-joins. A converged
+    round is a no-op block, so Spark's early exit cannot diverge."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous ~3x, so inlining would expand
+    # the base scan 3^rounds times (observed: "Too many open files").
+    parts = [
+        """
+        WITH pl AS (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 5 = 0
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+                            CAST(b.l_partkey AS BIGINT) AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e{r - 1}
+                  UNION ALL SELECT v AS node FROM e{r - 1})
+            GROUP BY node
+        ), k{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+        e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r - 1} e
+            WHERE e.u IN (SELECT node FROM k{r})
+              AND e.v IN (SELECT node FROM k{r})
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e{rounds}
+              UNION ALL SELECT v AS node FROM e{rounds})
+        GROUP BY node ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q98_kcore",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    description="k-core peeling (k=14, 8 rounds — converged at both gate SFs: min surviving degree equals k) over the sampled part "
+    "co-order graph: per round one endpoint-explode degree agg + two "
+    "semi-joins restrict the edge list to surviving nodes; the list "
+    "only shrinks so round cost is monotone decreasing, and the loop "
+    "exits at fixpoint (a no-op block in the unrolled oracle). The "
+    "dense-community extraction primitive for dedup/link graphs",
+    tags=("graph", "iterative"),
+)
+def q98_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.graph import kcore
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
 @query(
     "q69_skew_profile",
     oracle="""

@@ -477,3 +477,17 @@ def test_bfs_levels_early_exit_and_min_level(spark):
     df = spark.createDataFrame(edges, "u int, v int")
     got = {(r.node, r.level) for r in bfs_levels(df, max_depth=10).collect()}
     assert got == {(1, 0), (2, 1), (3, 1), (4, 2)}
+
+
+def test_kcore_planted_graph(spark):
+    """K5 with a pendant tail: the 2-core strips the tail in cascading
+    rounds (node 6 first, then 7 becomes degree-0) leaving exactly K5
+    with all degrees 4; a 5-core of K5 is empty (max degree is 4)."""
+    from amadou_spark.operators.graph import kcore
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    edges = k5 + [(5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {(r.node, r.degree) for r in kcore(df, k=2, max_rounds=8).collect()}
+    assert got == {(n, 4) for n in range(1, 6)}
+    assert kcore(df, k=5, max_rounds=8).count() == 0
