@@ -740,6 +740,131 @@ def q98_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q99_link_prediction",
+    oracle="""
+        WITH pl AS (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 5 = 0
+        ),
+        e AS MATERIALIZED (
+            SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+                            CAST(b.l_partkey AS BIGINT) AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        sym AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM e
+            UNION ALL
+            SELECT v AS src, u AS dst FROM e
+        ),
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+            FROM sym GROUP BY src
+        ),
+        wedge AS (
+            SELECT e1.dst AS b, e2.dst AS c, 1.0 / ln(deg.d) AS w
+            FROM sym e1
+            JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN deg ON deg.node = e1.src
+        ),
+        scored AS (
+            SELECT b, c, ROUND(SUM(w), 6) AS adamic_adar,
+                   CAST(count(*) AS BIGINT) AS common_neighbors
+            FROM wedge
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.u = wedge.b AND e.v = wedge.c
+            )
+            GROUP BY b, c
+        )
+        SELECT b AS node_a, c AS node_b, adamic_adar, common_neighbors
+        FROM scored
+        ORDER BY adamic_adar DESC, node_a, node_b
+        LIMIT 20
+    """,
+    description="Adamic-Adar link prediction over the sampled part "
+    "co-order graph: every wedge center u contributes 1/ln(deg(u)) to "
+    "its neighbor pairs, summed per non-adjacent pair, top-20 on the "
+    "ROUNDED score (cutoff independent of last-ulp double noise). The "
+    "wedge self-join is the O(sum d^2) candidate generator — on a "
+    "power-law graph cap hub adjacency lists first (same gate as "
+    "triangle counting's orientation); existing edges are removed by "
+    "one anti-join on the canonical pair",
+    tags=("graph",),
+)
+def q99_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").cast("bigint").alias("u"),
+            F.col("b.l_partkey").cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+    e = materialize_shared(e)  # feeds sym (twice) + the anti-join
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("x")
+    ).select("x.src", "x.dst")
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    wedge = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .join(deg, F.col("node") == F.col("e1.src"))
+        .select(
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+            (1.0 / F.log(F.col("d"))).alias("w"),
+        )
+    )
+    scored = (
+        wedge.join(
+            e, (wedge["b"] == e["u"]) & (wedge["c"] == e["v"]), "left_anti"
+        )
+        .groupBy("b", "c")
+        .agg(
+            F.round(F.sum("w"), 6).alias("adamic_adar"),
+            F.count("*").alias("common_neighbors"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("b").alias("node_a"),
+            F.col("c").alias("node_b"),
+            "adamic_adar",
+            "common_neighbors",
+        )
+        .orderBy(F.col("adamic_adar").desc(), "node_a", "node_b")
+        .limit(20)
+    )
+
+
+@query(
     "q69_skew_profile",
     oracle="""
         WITH k AS (

@@ -1080,6 +1080,98 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_text_bm25",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(count(*) AS DOUBLE) AS doc_len
+            FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   (SELECT avg(doc_len) FROM dl) AS avgdl
+            FROM documents
+        ), qterms AS (
+            SELECT * FROM (VALUES ('query'), ('join'), ('dup')) t(term)
+        ), tf AS (
+            SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+            FROM toks WHERE tok IN (SELECT term FROM qterms)
+            GROUP BY doc_id, tok
+        ), df AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM toks JOIN qterms ON toks.tok = qterms.term
+            GROUP BY term
+        )
+        SELECT doc_id, ROUND(SUM(
+                   ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len
+                                            / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+    description="BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus "
+    "against a fixed 3-term query spanning the IDF range: one explode "
+    "feeds tf/doc-length/df aggregations from the same scan, the "
+    "per-term stats broadcast back (|terms| rows), and top-20 is a "
+    "TakeOrdered on the ROUNDED score so the cutoff can never depend "
+    "on a last-ulp double divergence between engines",
+    tags=("llm", "text"),
+)
+def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import tokens
+
+    t = register_tables(spark, sf_dir)
+    terms = ["query", "join", "dup"]
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("_doc_len")
+    )
+    stats = (
+        t["documents"]
+        .agg(F.count("*").cast("double").alias("_n_docs"))
+        .crossJoin(F.broadcast(dl.agg(F.avg("_doc_len").alias("_avgdl"))))
+    )
+    qtoks = toks.filter(F.col("tok").isin(terms))
+    tf = qtoks.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count("*").cast("double").alias("_tf")
+    )
+    df = qtoks.groupBy(F.col("tok").alias("term")).agg(
+        F.countDistinct("doc_id").cast("double").alias("_df")
+    )
+    # identical operation order to the oracle so the doubles agree
+    # bit-for-bit before ROUND (same contract as llm_text_tfidf)
+    contrib = (
+        F.log(
+            1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        )
+        * (F.col("_tf") * 2.2)
+        / (
+            F.col("_tf")
+            + 1.2 * (0.25 + 0.75 * F.col("_doc_len") / F.col("_avgdl"))
+        )
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
     "llm_text_top_ngrams",
     oracle="""
         WITH toks AS (

@@ -491,3 +491,37 @@ def test_kcore_planted_graph(spark):
     got = {(r.node, r.degree) for r in kcore(df, k=2, max_rounds=8).collect()}
     assert got == {(n, 4) for n in range(1, 6)}
     assert kcore(df, k=5, max_rounds=8).count() == 0
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    """q99: no predicted pair may already be an edge of the sampled
+    co-order graph, scores are positive, and common_neighbors >= 1."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.queries.frontier import q99_link_prediction
+    from amadou_spark.catalog import register_tables
+
+    out = q99_link_prediction(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    assert all(r.adamic_adar > 0 and r.common_neighbors >= 1 for r in out)
+    t = register_tables(spark, sf_dir)
+    pl = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .collect()
+    }
+    assert all((r.node_a, r.node_b) not in edges for r in out)
