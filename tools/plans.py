@@ -54,6 +54,12 @@ REVIEW = {
     "q93_salted_join": "hot key spread over 8 salt partitions; replication is an explode AFTER the scan (other side scanned once)",
     "q94_bucketed_join": "both sides pre-bucketed on the join key (SelectedBucketsCount in scan): the sort-merge path needs NO Exchange of either table — pinned in tests/test_scale.py with broadcast off; at this sf AQE correctly broadcasts the small side instead, and either way the fact never shuffles",
     "q95_salted_aggregate": "two-phase agg: (key, salt) partials spread the hot group before the final key-only re-aggregation",
+    "llm_bpe_learn_merges": "iterative BPE: each round's pair count is an explode + map-side-combined hash agg over the WORD table (not the corpus); merges apply as codegen literal replace; lineage cut per round so plans stay flat",
+    "llm_text_bm25": "one explode feeds tf/dl/df aggs from the same scan; |terms|-row stats broadcast back; top-20 is TakeOrdered on the rounded score",
+    "q96_triangle_count": "degree-oriented wedge join: orientation caps out-degree at O(sqrt(m)) so no hub hotspot; oriented list checkpointed once for its three consumers",
+    "q97_bfs_levels": "per-round frontier-edge equi-join + visited anti-join: cost O(frontier edges), never O(paths); early exit on drained frontier",
+    "q98_kcore": "per-round endpoint-explode degree agg + two semi-joins; edge list only shrinks so round cost is monotone decreasing",
+    "q99_link_prediction": "wedge self-join on the symmetrized list + one anti-join removes existing edges; top-20 on rounded score via TakeOrdered",
 }
 
 
