@@ -599,3 +599,90 @@ def q88_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q100_trend_fit",
+    oracle="""
+        WITH monthly AS (
+            SELECT o_orderpriority,
+                   CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                        + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+                       AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM orders
+            GROUP BY 1, 2
+        ), s AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM monthly GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n AS n_months,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept,
+               ROUND(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                          AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS r2
+        FROM s ORDER BY o_orderpriority
+    """,
+    description="distributed per-group OLS trend fit: monthly order "
+    "counts per priority regressed on the month index. Two stacked "
+    "hash aggregations (month rollup, then per-group moment sums) — "
+    "every moment is an exact BIGINT until the single final division, "
+    "so the result is hash-stable by construction regardless of "
+    "partitioning or summation order (no float accumulation anywhere). "
+    "The pattern generalizes: any per-key regression at 100 TB is two "
+    "map-side-combinable aggs, never a per-key collect",
+)
+def q100_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    monthly = (
+        t["orders"]
+        .groupBy(
+            "o_orderpriority",
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    s = monthly.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return s.select(
+        "o_orderpriority",
+        F.col("n").alias("n_months"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num).cast("double")
+            / (
+                den.cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    ).orderBy("o_orderpriority")
