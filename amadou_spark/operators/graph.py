@@ -586,13 +586,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Returns one row: (n_nodes, n_edges, n_triangles, clustering) where
     clustering = 3*triangles / wedges (NULL for a wedge-free graph).
     """
-    e = (
+    e = materialize_shared(
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-    )
+    )  # feeds deg, oriented AND totals: without this the caller's
+    # edge-builder join re-executes for each consumer
     # One pass over 2|E| endpoint rows; partial agg collapses map-side.
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
@@ -693,6 +694,8 @@ def bfs_levels(
     sym = materialize_shared(sym)
     if source is None:
         source = sym.agg(F.min("src")).collect()[0][0]  # 1-row control
+        if source is None:  # no edges after canonicalization
+            return spark.createDataFrame([], "node long, level int")
     visited = materialize_shared(
         spark.createDataFrame([(int(source), 0)], "node long, level int")
     )

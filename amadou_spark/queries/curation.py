@@ -216,6 +216,9 @@ def _bpe_oracle(num_merges: int) -> str:
     left-to-right non-overlapping pass, so the corpora stay
     bit-identical round to round; SUM(cnt) is cast back to BIGINT
     (DuckDB sums BIGINT into HUGEINT, which the driver hash rejects)."""
+    # AS MATERIALIZED per round: DuckDB inlines plain CTEs and each
+    # round references v{r-1} twice (directly and via the argmax), so
+    # inlining duplicates the base scan ~2^rounds times.
     blocks = [
         """
         WITH words AS (
@@ -223,7 +226,7 @@ def _bpe_oracle(num_merges: int) -> str:
             FROM (SELECT unnest(string_split(text, ' ')) AS word
                   FROM documents)
             WHERE word <> '' GROUP BY word
-        ), v0 AS (
+        ), v0 AS MATERIALIZED (
             SELECT word, cnt,
                    '\u00b7' || regexp_replace(word, '(.)', '\\1\u00b7', 'g')
                        AS repr
@@ -232,7 +235,7 @@ def _bpe_oracle(num_merges: int) -> str:
     ]
     for r in range(1, num_merges + 1):
         blocks.append(
-            f""", p{r} AS (
+            f""", p{r} AS MATERIALIZED (
             SELECT s.sym AS s1,
                    lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
                        AS s2,
@@ -246,11 +249,11 @@ def _bpe_oracle(num_merges: int) -> str:
                                        x -> x <> ''), 1) AS pos
                 FROM v{r - 1}
             ) s
-        ), a{r} AS (
+        ), a{r} AS MATERIALIZED (
             SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS n
             FROM p{r} WHERE s2 IS NOT NULL
             GROUP BY s1, s2 ORDER BY n DESC, s1, s2 LIMIT 1
-        ), v{r} AS (
+        ), v{r} AS MATERIALIZED (
             SELECT v.word, v.cnt,
                    replace(v.repr,
                            '\u00b7' || a.s1 || '\u00b7' || a.s2 || '\u00b7',

@@ -517,6 +517,29 @@ def q70_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+
+def _co_order_edges(t) -> DataFrame:
+    """Sampled part co-order graph shared by q96-q99: distinct part
+    pairs appearing in the same order, on a deterministic 20% order
+    sample (l_orderkey % 5 = 0 — keeps every sampled order's full item
+    set so co-order structure stays intact while wedge volume drops
+    ~25x). Must stay in lockstep with the `pl`/`e` CTEs of the four
+    unrolled oracles."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+
+
 @query(
     "q96_triangle_count",
     oracle="""
@@ -573,32 +596,12 @@ def q70_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def q96_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from amadou_spark.operators.graph import triangle_stats
 
     t = register_tables(spark, sf_dir)
-    # Deterministic 20% order sample: keeps every sampled order's full
-    # item set (co-order structure intact) while cutting the wedge
-    # volume ~25x — the full graph at sf0.1 is dense (avg degree ~120,
-    # ~150M wedges) and belongs on a cluster, not in the bench suite.
-    pairs = (
-        t["lineitem"]
-        .filter(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-    )
-    return triangle_stats(edges)
+    # The full sf0.1 graph is dense (avg degree ~120, ~150M wedges) and
+    # belongs on a cluster, not in the bench suite — hence the sample.
+    return triangle_stats(_co_order_edges(t))
 
 
 @query(
@@ -640,23 +643,10 @@ def q96_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative"),
 )
 def q97_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from amadou_spark.operators.graph import bfs_levels
 
     t = register_tables(spark, sf_dir)
-    pairs = (
-        t["lineitem"]
-        .filter(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    return bfs_levels(edges, max_depth=4)
+    return bfs_levels(_co_order_edges(t), max_depth=4)
 
 
 _KCORE_K = 14
@@ -720,23 +710,10 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     tags=("graph", "iterative"),
 )
 def q98_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from amadou_spark.operators.graph import kcore
 
     t = register_tables(spark, sf_dir)
-    pairs = (
-        t["lineitem"]
-        .filter(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return kcore(_co_order_edges(t), k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
 
 
 @query(
@@ -798,21 +775,11 @@ def q99_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.scale import materialize_shared
 
     t = register_tables(spark, sf_dir)
-    pairs = (
-        t["lineitem"]
-        .filter(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = pairs.alias("a"), pairs.alias("b")
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _co_order_edges(t)
         .select(
-            F.col("a.l_partkey").cast("bigint").alias("u"),
-            F.col("b.l_partkey").cast("bigint").alias("v"),
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
         )
         .distinct()
     )

@@ -628,8 +628,8 @@ def q88_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
                            / (n * sxx - sx * sx) * sx)
                      / n, 6) AS intercept,
-               ROUND(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                          AS DOUBLE)
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
                      / (CAST(n * sxx - sx * sx AS DOUBLE)
                         * (n * syy - sy * sy)), 6) AS r2
         FROM s ORDER BY o_orderpriority
@@ -637,9 +637,11 @@ def q88_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="distributed per-group OLS trend fit: monthly order "
     "counts per priority regressed on the month index. Two stacked "
     "hash aggregations (month rollup, then per-group moment sums) — "
-    "every moment is an exact BIGINT until the single final division, "
-    "so the result is hash-stable by construction regardless of "
-    "partitioning or summation order (no float accumulation anywhere). "
+    "every moment is an exact BIGINT (sums of bounded integer products "
+    "never overflow int64 here; the numerator is cast to DOUBLE before "
+    "squaring, which WOULD overflow at large scale), so the result is "
+    "hash-stable by construction regardless of partitioning or "
+    "summation order (no float accumulation anywhere). "
     "The pattern generalizes: any per-key regression at 100 TB is two "
     "map-side-combinable aggs, never a per-key collect",
 )
@@ -678,7 +680,7 @@ def q100_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
         F.round(
-            (num * num).cast("double")
+            num.cast("double") * num.cast("double")
             / (
                 den.cast("double")
                 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))

@@ -525,3 +525,12 @@ def test_link_prediction_excludes_existing_edges(spark, sf_dir):
         .collect()
     }
     assert all((r.node_a, r.node_b) not in edges for r in out)
+
+
+def test_bfs_levels_empty_graph(spark):
+    """Only-self-loop input canonicalizes to zero edges: must return an
+    empty frame, not crash deriving the default source."""
+    from amadou_spark.operators.graph import bfs_levels
+
+    df = spark.createDataFrame([(3, 3)], "u int, v int")
+    assert bfs_levels(df).count() == 0
