@@ -60,6 +60,7 @@ REVIEW = {
     "q97_bfs_levels": "per-round frontier-edge equi-join + visited anti-join: cost O(frontier edges), never O(paths); early exit on drained frontier",
     "q98_kcore": "per-round endpoint-explode degree agg + two semi-joins; edge list only shrinks so round cost is monotone decreasing",
     "q99_link_prediction": "wedge self-join on the symmetrized list + one anti-join removes existing edges; top-20 on rounded score via TakeOrdered",
+    "q100_trend_fit": "per-group OLS: two stacked hash aggs (month rollup -> BIGINT moment sums), map-side combine both; single division at the end — no float accumulation",
 }
 
 
