@@ -696,8 +696,8 @@ def bfs_levels(
         source = sym.agg(F.min("src")).collect()[0][0]  # 1-row control
         if source is None:  # no edges after canonicalization
             return spark.createDataFrame([], "node long, level int")
-    visited = materialize_shared(
-        spark.createDataFrame([(int(source), 0)], "node long, level int")
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node long, level int"
     )
     frontier = visited
     for lvl in range(1, max_depth + 1):
@@ -710,7 +710,10 @@ def bfs_levels(
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = materialize_shared(visited.union(nxt))
+        # no checkpoint needed: both union legs are already materialized
+        # LogicalRDDs (or the 1-row seed), so the visited plan stays a
+        # flat k-leg union — lineage cannot compound across rounds
+        visited = visited.union(nxt)
         frontier = nxt
     return visited.orderBy("node")
 
