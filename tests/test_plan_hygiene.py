@@ -85,3 +85,23 @@ def test_no_document_text_through_exchanges(spark, sf_dir, name):
     assert exchanges, formatted[:2000]  # plans do shuffle on the keys
     for block in exchanges:
         assert not re.search(r"\btext#", block), block
+
+
+@pytest.mark.parametrize(
+    "name", ["q96_triangle_count", "q99_link_prediction"]
+)
+def test_graph_wedge_joins_are_equi(spark, sf_dir, name):
+    """The wedge generators must plan as hash/sort-merge EQUI-joins on
+    the shared center node — a CartesianProduct here means the equi-key
+    was lost and the query is O(m^2) at scale. q96's two 1-row
+    aggregate crossJoins legitimately plan as BroadcastNestedLoopJoin
+    (Cross, 1-row build side), so only Inner/outer BNLJs are banned."""
+    _load()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, f"non-cross BNLJ in {name}: {line}"
+    # the wedge self-join survived as an equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan         or "BroadcastHashJoin" in plan
