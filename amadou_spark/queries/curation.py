@@ -277,6 +277,100 @@ def _bpe_oracle(num_merges: int) -> str:
 
 
 @query(
+    "llm_token_pmi",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), uni AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+        ), tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+        ), seq AS (
+            SELECT doc_id, unnest(ts) AS tok,
+                   generate_subscripts(ts, 1) AS pos
+            FROM toks
+        ), pairs AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+            FROM (
+                SELECT tok AS a,
+                       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS b
+                FROM seq
+            )
+            WHERE b IS NOT NULL
+            GROUP BY a, b
+        )
+        SELECT a, b, cab AS pair_count,
+               ROUND(ln(CAST(tot.n AS DOUBLE) * cab
+                        / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+        FROM pairs
+        JOIN uni ua ON ua.tok = pairs.a
+        JOIN uni ub ON ub.tok = pairs.b
+        CROSS JOIN tot
+        WHERE cab >= 5
+        ORDER BY pmi DESC, a, b
+        LIMIT 30
+    """,
+    description="PMI collocation mining: pointwise mutual information "
+    "ln(N*c(a,b)/(c(a)*c(b))) over adjacent token pairs, min support "
+    "5, top-30 on the ROUNDED score. All counts are exact BIGINTs from "
+    "two map-side-combined aggregations off one explode; the only "
+    "float op is the final single-expression log — hash-stable under "
+    "any partitioning. The unigram table joins back by token "
+    "(broadcast while the vocab is small, shuffle when it is not)",
+    tags=("llm", "text"),
+)
+def llm_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    docs = t["documents"]
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n_pairs),
+                    F.slice(toks, 2, n_pairs),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("cab").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("cab")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(30)
+    )
+
+
+@query(
     "llm_bpe_learn_merges",
     oracle=_bpe_oracle(_BPE_MERGES),
     description="full BPE vocabulary induction loop (Sennrich 2016): "
