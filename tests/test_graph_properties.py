@@ -1,0 +1,127 @@
+"""Property-based tests for the graph operators: on random small
+graphs, the distributed implementations must agree exactly with
+brute-force driver-side references (itertools / dict BFS / iterative
+peel). Spark sessions are expensive per example, so each property runs
+a small number of RANDOM graphs via hypothesis with a reduced
+max_examples — the planted-graph unit tests in test_llm_ops.py cover
+the hand-checkable shapes; these cover the shapes nobody thought of.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import deque
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EDGE = st.tuples(
+    st.integers(min_value=0, max_value=11),
+    st.integers(min_value=0, max_value=11),
+)
+EDGES = st.lists(EDGE, min_size=0, max_size=25)
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _canon(edges):
+    return {
+        (min(u, v), max(u, v)) for u, v in edges if u != v
+    }
+
+
+def _adj(es):
+    adj: dict = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+@given(EDGES)
+@_SLOW
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    from amadou_spark.operators.graph import triangle_stats
+
+    es = _canon(edges)
+    if not es:
+        return
+    adj = _adj(es)
+    nodes = sorted(adj)
+    tris = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    df = spark.createDataFrame(sorted(es), "u int, v int")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(es)
+    assert row.n_triangles == tris
+    if wedges == 0:
+        assert row.clustering is None
+    else:
+        assert row.clustering == round(3.0 * tris / wedges, 6)
+
+
+@given(EDGES, st.integers(min_value=1, max_value=4))
+@_SLOW
+def test_kcore_matches_iterative_peel(spark, edges, k):
+    from amadou_spark.operators.graph import kcore
+
+    es = _canon(edges)
+    if not es:
+        return
+    # reference: peel to fixpoint
+    cur = set(es)
+    while True:
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expect: dict = {}
+    for u, v in cur:
+        expect[u] = expect.get(u, 0) + 1
+        expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(sorted(es), "u int, v int")
+    # max_rounds=20 >> any 12-node peel depth, so both sides converge
+    got = {r.node: r.degree for r in kcore(df, k=k, max_rounds=20).collect()}
+    assert got == expect
+
+
+@given(EDGES, st.integers(min_value=1, max_value=4))
+@_SLOW
+def test_bfs_levels_match_reference(spark, edges, depth):
+    from amadou_spark.operators.graph import bfs_levels
+
+    es = _canon(edges)
+    if not es:
+        return
+    adj = _adj(es)
+    src = min(adj)
+    expect = {src: 0}
+    q = deque([src])
+    while q:
+        n = q.popleft()
+        if expect[n] >= depth:
+            continue
+        for m in adj[n]:
+            if m not in expect:
+                expect[m] = expect[n] + 1
+                q.append(m)
+    df = spark.createDataFrame(sorted(es), "u int, v int")
+    got = {
+        r.node: r.level for r in bfs_levels(df, max_depth=depth).collect()
+    }
+    assert got == expect
