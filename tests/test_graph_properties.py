@@ -125,3 +125,52 @@ def test_bfs_levels_match_reference(spark, edges, depth):
         r.node: r.level for r in bfs_levels(df, max_depth=depth).collect()
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@_SLOW
+def test_bpe_learn_merges_matches_python_reference(spark, words, n):
+    """bpe_learn_merges vs a pure-Python replica using str.replace —
+    the SAME one-pass left-to-right merge semantics — on random tiny
+    two-letter corpora where self-adjacent runs (the divergence-prone
+    shape) are common."""
+    from amadou_spark.llm.text import bpe_learn_merges
+
+    # python reference over the word-frequency table
+    freq: dict = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    reprs = {w: "·" + "·".join(w) + "·" for w in freq}
+    expect = []
+    for rank in range(1, n + 1):
+        counts: dict = {}
+        for w, r in reprs.items():
+            syms = [s for s in r.split("·") if s]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq[w]
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rank, a, b, a + b, c))
+        reprs = {
+            w: r.replace(f"·{a}·{b}·", f"·{a}{b}·")
+            for w, r in reprs.items()
+        }
+    docs = spark.createDataFrame(
+        [(f"d{i}", w) for i, w in enumerate(words)],
+        "doc_id string, text string",
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(docs, num_merges=n).collect()
+    ]
+    assert got == expect
