@@ -496,3 +496,64 @@ def leakage_safe_split(
         )
         .drop("cluster_id")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring detection, the windowed-hash shape of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") without the suffix array: every ``window``-token sliding
+    window is hashed; windows whose hash occurs more than once anywhere
+    in the corpus mark their start positions; runs of consecutive
+    marked positions merge (gaps-and-islands) into MAXIMAL duplicated
+    spans of >= ``window`` tokens per document.
+
+    Scale shape: window generation is a pure JVM projection (transform
+    over a sequence — no shuffle, no Python); the duplicate-hash set
+    comes from ONE hash aggregation with map-side combine; marking is
+    an equi-join on the 32-hex hash (never the text); island-merging is
+    one per-doc window sort. At 100 TB nothing driver-resident exists
+    and the only wide columns ever shuffled are (doc_id, pos, hash).
+
+    Returns (doc_id, span_start BIGINT [1-based], span_end BIGINT,
+    span_len BIGINT) ordered by doc, position.
+    """
+    w = int(window)
+    wins = F.expr(
+        f"""CASE WHEN size(split({text_col}, ' ')) >= {w}
+            THEN transform(
+                sequence(1, size(split({text_col}, ' ')) - {w - 1}),
+                i -> struct(i AS pos,
+                            md5(concat_ws(' ',
+                                slice(split({text_col}, ' '), i, {w})))
+                                AS h))
+            ELSE array() END"""
+    )
+    marked = (
+        docs.select("doc_id", F.explode(wins).alias("x"))
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.h").alias("h"))
+    )
+    dup = (
+        marked.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        marked.join(dup, "h")
+        .withColumn("g", F.col("pos") - F.row_number().over(win))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (w - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

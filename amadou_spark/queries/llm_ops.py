@@ -1080,6 +1080,50 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_substrings",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), win AS (
+            SELECT doc_id, pos,
+                   md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w || ' ' || lead(tok, 7) OVER w) AS h
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 7) OVER w IS NOT NULL
+        ), dup AS (
+            SELECT h FROM win GROUP BY h HAVING count(*) > 1
+        ), marked AS (
+            SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
+        ), grp AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS g
+            FROM marked
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
+        FROM grp GROUP BY doc_id, g
+        ORDER BY doc_id, span_start
+    """,
+    description="exact duplicated-substring spans (Lee et al. 2022 "
+    "substring dedup, windowed-hash form): every 8-token sliding "
+    "window hashed as a pure JVM projection (transform over sequence "
+    "— no shuffle, no Python), duplicate hashes found with one "
+    "map-side-combined agg, positions marked by an equi-join on the "
+    "hash, consecutive positions merged gaps-and-islands into maximal "
+    "duplicated spans. Only (doc_id, pos, hash) ever shuffles",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.dedup import duplicated_spans
+
+    t = register_tables(spark, sf_dir)
+    return duplicated_spans(t["documents"], window=8)
+
+
+@query(
     "llm_text_bm25",
     oracle="""
         WITH toks AS (

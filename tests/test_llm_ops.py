@@ -534,3 +534,27 @@ def test_bfs_levels_empty_graph(spark):
 
     df = spark.createDataFrame([(3, 3)], "u int, v int")
     assert bfs_levels(df).count() == 0
+
+
+def test_duplicated_spans_planted(spark):
+    """Two docs share a 10-token run: start positions of its three
+    8-token windows merge into ONE maximal span of length 10 per doc;
+    a doc with no 8-token overlap produces nothing; a sub-window
+    (7-token) shared run is invisible."""
+    from amadou_spark.llm.dedup import duplicated_spans
+
+    shared = "a b c d e f g h i j"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"x1 {shared} y1 z1"),  # span at pos 2..11
+            ("d2", f"{shared} q r s"),  # span at pos 1..10
+            ("d3", "p q r s t u v w"),  # unique 8 tokens, no dup
+            ("d4", "a b c d e f g zz one two three four five"),  # 7 shared
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicated_spans(docs, window=8).collect()
+    }
+    assert got == {("d1", 2, 11, 10), ("d2", 1, 10, 10)}
