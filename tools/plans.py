@@ -61,6 +61,8 @@ REVIEW = {
     "q98_kcore": "per-round endpoint-explode degree agg + two semi-joins; edge list only shrinks so round cost is monotone decreasing",
     "q99_link_prediction": "wedge self-join on the symmetrized list + one anti-join removes existing edges; top-20 on rounded score via TakeOrdered",
     "q100_trend_fit": "per-group OLS: two stacked hash aggs (month rollup -> BIGINT moment sums), map-side combine both; single division at the end — no float accumulation",
+    "llm_token_pmi": "two count tables off one explode; unigram join-back unhinted (broadcast while vocab small); top-30 on rounded score via TakeOrdered",
+    "llm_dedup_substrings": "window hashing is a no-shuffle JVM projection; dup set from one map-side-combined agg; only (doc_id,pos,hash) ever shuffles — text stays out of every exchange",
 }
 
 
