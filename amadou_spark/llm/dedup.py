@@ -505,9 +505,14 @@ def duplicated_spans(
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better") without the suffix array: every ``window``-token sliding
     window is hashed; windows whose hash occurs more than once anywhere
-    in the corpus mark their start positions; runs of consecutive
-    marked positions merge (gaps-and-islands) into MAXIMAL duplicated
-    spans of >= ``window`` tokens per document.
+    in the corpus mark their start positions; marked positions whose
+    token ranges ``[pos, pos+window-1]`` overlap or touch merge into
+    MAXIMAL disjoint duplicated spans of >= ``window`` tokens per
+    document. (Merging on *consecutive* start positions only — the r4
+    shape — left starts differing by 2..window-1 in separate islands,
+    so spans could overlap and span_len sums could exceed the document
+    length; islands now merge whenever the start gap is <= window,
+    restoring the Lee et al. maximal-span semantics.)
 
     Scale shape: window generation is a pure JVM projection (transform
     over a sequence — no shuffle, no Python); the duplicate-hash set
@@ -547,9 +552,17 @@ def duplicated_spans(
         .select("h")
     )
     win = W.partitionBy("doc_id").orderBy("pos")
+    # All intervals share length w, so sorted-by-start is sorted-by-end:
+    # a new island starts exactly when this start exceeds the previous
+    # interval's end + 1 (gap > w). Running-sum of island starts is the
+    # island id. First row: pos - NULL is NULL -> otherwise(1). One
+    # window over the same (doc_id, pos) sort the old row_number used.
+    new_island = F.when(
+        F.col("pos") - F.lag("pos").over(win) <= w, F.lit(0)
+    ).otherwise(F.lit(1))
     return (
         marked.join(dup, "h")
-        .withColumn("g", F.col("pos") - F.row_number().over(win))
+        .withColumn("g", F.sum(new_island).over(win))
         .groupBy("doc_id", "g")
         .agg(
             F.min("pos").cast("bigint").alias("span_start"),

@@ -355,11 +355,14 @@ def pq_topk(
     # queries: a larger query set costs one corpus scoring pass per
     # chunk instead of silently building an unbounded LUT tensor.
     # The query set is pulled to the driver in BOUNDED increments
-    # (toLocalIterator streams one partition at a time — driver memory
-    # is O(largest partition + one chunk), never O(|q|) of full
-    # vectors): with query_ids=None the query side is the whole corpus,
-    # and a single toPandas() would land every embedding on the driver
-    # before the chunk loop could bound anything.
+    # (toLocalIterator streams one partition at a time), and each
+    # chunk's shortlist is MATERIALIZED before the next chunk is built
+    # (materialize_shared below) so its LUT tensor — m*k_sub doubles
+    # per query, ~8x the raw vector — becomes garbage instead of
+    # accumulating in pending pandas_udf closures until a final union
+    # executes. Driver memory is O(largest partition + one chunk's LUT
+    # + the id-pair shortlists); without the per-chunk execution it
+    # would still be O(|q|) in closures (ADVICE r4).
     def _query_chunks():
         buf: list[dict] = []
         for row in queries.toLocalIterator():
@@ -416,7 +419,15 @@ def pq_topk(
             .select("query_id", "neighbor_id")
         )
 
-    parts = [_chunk_shortlist(chunk) for chunk in _query_chunks()]
+    from amadou_spark.scale import materialize_shared
+
+    # execute each chunk's shortlist plan eagerly: frees that chunk's
+    # LUT closure before the next chunk builds, and the downstream
+    # re-rank reads materialized id pairs instead of re-scoring
+    parts = [
+        materialize_shared(_chunk_shortlist(chunk))
+        for chunk in _query_chunks()
+    ]
     if not parts:
         from pyspark.sql.types import (
             DoubleType,

@@ -718,11 +718,29 @@ def bfs_levels(
     return visited.orderBy("node")
 
 
-def kcore(edges: DataFrame, k: int = 14, max_rounds: int = 8) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int = 14,
+    max_rounds: int = 8,
+    on_exhausted: str = "raise",
+) -> DataFrame:
     """Iterative k-core peeling: repeatedly drop nodes with degree < k
     (and their edges) until fixpoint or ``max_rounds``. Returns the
     surviving (node BIGINT, degree BIGINT) table — the subgraph where
     every node keeps >= k neighbors once converged.
+
+    Convergence contract (VERDICT r4 #5): if ``max_rounds`` is
+    exhausted BEFORE fixpoint, the surviving table is a strict
+    supergraph of the true k-core — silently returning it used to be
+    indistinguishable from convergence. Now exhaustion triggers one
+    extra degree check; if any survivor still has degree < k the
+    behavior follows ``on_exhausted``:
+
+    - ``"raise"`` (default): RuntimeError naming the bound — the safe
+      default at 100x scale, where deeper peeling chains get likelier;
+    - ``"return"``: return the bounded ("partial peel") result, for
+      callers that mirror the bound exactly the way the q98 unrolled
+      oracle does.
 
     The peeling shape at scale: each round is one endpoint-explode
     degree aggregation plus two semi-joins restricting the edge list to
@@ -733,6 +751,8 @@ def kcore(edges: DataFrame, k: int = 14, max_rounds: int = 8) -> DataFrame:
     unrolled oracle, so early exit cannot diverge from it). Lineage is
     cut per round like the CC/PageRank/BFS loops.
     """
+    if on_exhausted not in ("raise", "return"):
+        raise ValueError(f"on_exhausted must be 'raise' or 'return', got {on_exhausted!r}")
     e = (
         edges.select(
             F.least("u", "v").cast("bigint").alias("u"),
@@ -743,6 +763,7 @@ def kcore(edges: DataFrame, k: int = 14, max_rounds: int = 8) -> DataFrame:
     )
     e = materialize_shared(e)
     n_edges = e.count()
+    converged = False
     for _ in range(max_rounds):
         deg = (
             e.select(F.explode(F.array("u", "v")).alias("node"))
@@ -757,11 +778,147 @@ def kcore(edges: DataFrame, k: int = 14, max_rounds: int = 8) -> DataFrame:
         )
         n_new = new_e.count()
         if n_new == n_edges:
+            converged = True
             break
         e, n_edges = new_e, n_new
+    if not converged:
+        # the last allowed round still removed edges; one extra degree
+        # check decides whether it happened to LAND on the fixpoint
+        # (1-row control action, only on the exhaustion path)
+        below = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") < k)
+            .limit(1)
+            .count()
+        )
+        if below > 0 and on_exhausted == "raise":
+            raise RuntimeError(
+                f"kcore(k={k}) did not reach fixpoint within "
+                f"max_rounds={max_rounds}: the surviving subgraph still "
+                "has nodes below degree k (a strict supergraph of the "
+                "true k-core). Raise max_rounds, or pass "
+                "on_exhausted='return' to accept the bounded peel."
+            )
     return (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
         .orderBy("node")
+    )
+
+
+def _blocked_adjacency(sym: DataFrame, chunk: int) -> DataFrame:
+    """Hash-block each node's adjacency list into ceil(degree/chunk)
+    blocks so no single wedge-join key ever carries more than ~``chunk``
+    rows per side. Input (src, dst); output adds
+    (d BIGINT, nb INT, blk INT) where blk = xxhash64(dst) mod nb.
+
+    Non-hub nodes (degree <= chunk) get nb=1, blk=0 — zero overhead.
+    Hash blocking is balanced in expectation (block sizes concentrate
+    around degree/nb = chunk); the skew test pins max block size within
+    a small factor of the mean on a planted hub.
+    """
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    nb = F.ceil(F.col("d") / F.lit(int(chunk))).cast("int")
+    return sym.join(deg, sym["src"] == deg["node"]).select(
+        "src",
+        "dst",
+        "d",
+        nb.alias("nb"),
+        F.pmod(F.xxhash64("dst"), nb.cast("bigint")).cast("int").alias("blk"),
+    )
+
+
+def adamic_adar(edges: DataFrame, chunk: int = 32) -> DataFrame:
+    """Adamic-Adar link-prediction scores for every non-adjacent node
+    pair with >= 1 common neighbor: each wedge center u contributes
+    1/ln(deg(u)) to its neighbor pair, summed per pair.
+
+    Returns (node_a BIGINT, node_b BIGINT, adamic_adar DOUBLE rounded
+    to 6, common_neighbors BIGINT) with node_a < node_b, unordered.
+
+    The hub-safe wedge generator (VERDICT r4 #2): unlike triangle
+    counting, the wedge self-join here CANNOT be degree-oriented —
+    every wedge contributes to the score — so a naive self-join on the
+    center key puts a degree-d hub's d^2/2 wedges under ONE join key
+    (AQE skew-join splits the straggler but the aggregate Σd² volume
+    still funnels through hub keys). Fix: salt-split each adjacency
+    list into ceil(d/chunk) hash blocks and self-join block PAIRS —
+    the left leg replicates each edge to its (own block, partner block
+    >= own) pairs, the right leg to (partner block <= own, own), so
+    the equi-join key becomes (src, block_i, block_j) and every key
+    carries <= ~chunk rows per side. Each unordered neighbor pair is
+    generated exactly once: cross-block pairs (i < j) match on exactly
+    one key orientation, same-block pairs are tie-broken by dst order.
+    The downstream per-pair SUM is commutative, so results are
+    identical to the unsalted join (the DuckDB oracle stays unsalted).
+    Replication cost: a degree-d node's edges fan out ~ceil(d/chunk)/2
+    times per leg — only hubs pay, exactly where the skew win is.
+    """
+    e = materialize_shared(
+        edges.select(
+            F.least("u", "v").cast("bigint").alias("u"),
+            F.greatest("u", "v").cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )  # feeds sym (via blocking) AND the existing-edge anti-join
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("x")
+    ).select("x.src", "x.dst")
+    # blocked adjacency feeds both join legs: materialize once
+    adj = materialize_shared(_blocked_adjacency(sym, chunk))
+    left = adj.select(
+        "src",
+        "dst",
+        "d",
+        "blk",
+        F.explode(F.expr("sequence(blk, nb - 1)")).alias("j"),
+    )
+    right = adj.select(
+        F.col("src").alias("r_src"),
+        F.col("dst").alias("r_dst"),
+        F.col("blk").alias("r_blk"),
+        F.explode(F.expr("sequence(0, blk)")).alias("i"),
+    )
+    wedge = (
+        left.join(
+            right,
+            (F.col("src") == F.col("r_src"))
+            & (F.col("blk") == F.col("i"))
+            & (F.col("j") == F.col("r_blk")),
+        )
+        # same-block (blk == r_blk) pairs need the dst tie-break;
+        # cross-block pairs are unique by key construction
+        .filter((F.col("blk") < F.col("r_blk")) | (F.col("dst") < F.col("r_dst")))
+        .select(
+            F.least("dst", "r_dst").alias("b"),
+            F.greatest("dst", "r_dst").alias("c"),
+            (1.0 / F.log(F.col("d").cast("double"))).alias("w"),
+        )
+    )
+    return (
+        wedge.join(
+            e, (wedge["b"] == e["u"]) & (wedge["c"] == e["v"]), "left_anti"
+        )
+        .groupBy("b", "c")
+        .agg(
+            F.round(F.sum("w"), 6).alias("adamic_adar"),
+            F.count("*").cast("bigint").alias("common_neighbors"),
+        )
+        .select(
+            F.col("b").alias("node_a"),
+            F.col("c").alias("node_b"),
+            "adamic_adar",
+            "common_neighbors",
+        )
     )

@@ -31,15 +31,16 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(value: object) -> object:
-    """Canonicalize a cell for multiset comparison."""
+def _canon(value: object, signed: bool = False) -> object:
+    """Canonicalize a cell for multiset comparison. ``signed=True``
+    keeps the -0.0 / +0.0 distinction (the driver's value hash does)."""
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        # collapse -0.0 and represent at full precision
-        return repr(value + 0.0)
+        # repr(-0.0) == '-0.0'; `+ 0.0` collapses the sign when unsigned
+        return repr(value if signed else value + 0.0)
     if isinstance(value, list):
-        return tuple(_canon(v) for v in value)
+        return tuple(_canon(v, signed) for v in value)
     return value
 
 
@@ -81,34 +82,6 @@ def check_query(
     o_cols = [d[0] for d in cur.description]
     o_rows = cur.fetchall()
 
-    # Hash-divergence armor (VERDICT r3 #7): our multiset compare
-    # canonicalizes -0.0 == +0.0, but the DRIVER's value hash does not —
-    # b04_grouped_zscore failed a round solely because DuckDB's C-style
-    # ROUND preserves the sign of -0.0 while Spark's BigDecimal round
-    # emits +0.0. Flag ANY negative zero on EITHER engine so the class
-    # of bug is caught locally before a driver row burns a round. Fix
-    # pattern: append `+ 0.0` to the rounded oracle expression (IEEE
-    # -0.0 + 0.0 = +0.0), and avoid Spark-side exprs that keep the sign.
-    negzero = [
-        engine
-        for engine, rows in (("spark", s_rows), ("oracle", o_rows))
-        if any(
-            isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
-            for r in rows
-            for v in r
-        )
-    ]
-    if negzero:
-        return CheckResult(
-            name,
-            False,
-            f"negative zero emitted by {negzero}: the driver's hash "
-            "distinguishes -0.0 from +0.0 — normalize with `+ 0.0` "
-            "(oracle) / avoid sign-preserving rounding (spark)",
-            len(s_rows),
-            len(o_rows),
-        )
-
     if sorted(s_cols) != sorted(o_cols):
         return CheckResult(
             name, False, f"column mismatch: spark={s_cols} oracle={o_cols}",
@@ -130,6 +103,42 @@ def check_query(
         (tuple(_canon(r[i]) for i in o_ix) for r in o_rows), key=repr
     )
     if s_set == o_set:
+        # Hash-divergence armor (VERDICT r3 #7, refined r5 per ADVICE):
+        # our canonicalization collapses -0.0 == +0.0 but the DRIVER's
+        # value hash does not — b04_grouped_zscore once failed a round
+        # solely because DuckDB's C-style ROUND preserves the sign of
+        # -0.0 while Spark's BigDecimal round emits +0.0. Only fail when
+        # the SIGN-SENSITIVE multisets actually diverge (both engines
+        # emitting -0.0 in the same cells hashes identically at the
+        # driver — that is a pass, not a false alarm). Fix pattern:
+        # append `+ 0.0` to the rounded oracle expression (IEEE
+        # -0.0 + 0.0 = +0.0) or avoid sign-preserving rounding.
+        has_negzero = any(
+            isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+            for rows in (s_rows, o_rows)
+            for r in rows
+            for v in r
+        )
+        if has_negzero:
+            s_signed = sorted(
+                (tuple(_canon(r[i], signed=True) for i in s_ix) for r in s_rows),
+                key=repr,
+            )
+            o_signed = sorted(
+                (tuple(_canon(r[i], signed=True) for i in o_ix) for r in o_rows),
+                key=repr,
+            )
+            if s_signed != o_signed:
+                return CheckResult(
+                    name,
+                    False,
+                    "negative-zero sign divergence: values match with "
+                    "-0.0 == +0.0 but the driver's hash distinguishes "
+                    "them — normalize with `+ 0.0` (oracle) / avoid "
+                    "sign-preserving rounding (spark)",
+                    len(s_rows),
+                    len(o_rows),
+                )
         return CheckResult(name, True, "exact match", len(s_rows), len(o_rows))
 
     # diagnose: first differing row pair + closeness verdict

@@ -582,9 +582,14 @@ def _co_order_edges(t) -> DataFrame:
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
                (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
                t.n_triangles,
-               ROUND(3.0 * t.n_triangles /
-                     (SELECT SUM(d * (d - 1) / 2.0) FROM deg),
-                     6) AS clustering
+               -- zero guard mirrors the Spark side's n_wedges>0 CASE:
+               -- a wedge-free graph must yield NULL in BOTH engines
+               -- (DuckDB 0/0.0 is NaN, a latent divergence otherwise)
+               CASE WHEN (SELECT SUM(d * (d - 1) / 2.0) FROM deg) > 0
+                    THEN ROUND(3.0 * t.n_triangles /
+                               (SELECT SUM(d * (d - 1) / 2.0) FROM deg),
+                               6)
+               END AS clustering
         FROM t
     """,
     description="exact triangle count + global clustering over the "
@@ -701,7 +706,10 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 @query(
     "q98_kcore",
     oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
-    description="k-core peeling (k=14, 8 rounds — converged at both gate SFs: min surviving degree equals k) over the sampled part "
+    description="k-core peeling (k=14, 8 rounds — converged at both "
+    "gate SFs: min surviving degree equals k; non-convergence would "
+    "RAISE by contract rather than silently return a supergraph, see "
+    "operators/graph.py kcore on_exhausted) over the sampled part "
     "co-order graph: per round one endpoint-explode degree agg + two "
     "semi-joins restrict the edge list to surviving nodes; the list "
     "only shrinks so round cost is monotone decreasing, and the loop "
@@ -763,69 +771,23 @@ def q98_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "co-order graph: every wedge center u contributes 1/ln(deg(u)) to "
     "its neighbor pairs, summed per non-adjacent pair, top-20 on the "
     "ROUNDED score (cutoff independent of last-ulp double noise). The "
-    "wedge self-join is the O(sum d^2) candidate generator — on a "
-    "power-law graph cap hub adjacency lists first (same gate as "
-    "triangle counting's orientation); existing edges are removed by "
-    "one anti-join on the canonical pair",
+    "wedge generator is HUB-SALTED (operators/graph.py:adamic_adar): "
+    "adjacency lists hash-block into ceil(d/32) chunks and block PAIRS "
+    "equi-join on (center, block_i, block_j), bounding every join key "
+    "at ~chunk rows per side — the unsalted self-join puts a hub's "
+    "d^2/2 wedges under one key. Results are bit-identical (per-pair "
+    "SUM is commutative), so the oracle stays the plain self-join; "
+    "existing edges are removed by one anti-join on the canonical pair",
     tags=("graph",),
 )
 def q99_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from amadou_spark.scale import materialize_shared
+    from amadou_spark.operators.graph import adamic_adar
 
     t = register_tables(spark, sf_dir)
-    e = (
-        _co_order_edges(t)
-        .select(
-            F.col("u").cast("bigint").alias("u"),
-            F.col("v").cast("bigint").alias("v"),
-        )
-        .distinct()
-    )
-    e = materialize_shared(e)  # feeds sym (twice) + the anti-join
-    sym = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
-            )
-        ).alias("x")
-    ).select("x.src", "x.dst")
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("double").alias("d")
-    )
-    e1, e2 = sym.alias("e1"), sym.alias("e2")
-    wedge = (
-        e1.join(
-            e2,
-            (F.col("e1.src") == F.col("e2.src"))
-            & (F.col("e1.dst") < F.col("e2.dst")),
-        )
-        .join(deg, F.col("node") == F.col("e1.src"))
-        .select(
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
-            (1.0 / F.log(F.col("d"))).alias("w"),
-        )
-    )
-    scored = (
-        wedge.join(
-            e, (wedge["b"] == e["u"]) & (wedge["c"] == e["v"]), "left_anti"
-        )
-        .groupBy("b", "c")
-        .agg(
-            F.round(F.sum("w"), 6).alias("adamic_adar"),
-            F.count("*").alias("common_neighbors"),
-        )
-    )
     return (
-        scored.select(
-            F.col("b").alias("node_a"),
-            F.col("c").alias("node_b"),
-            "adamic_adar",
-            "common_neighbors",
-        )
+        adamic_adar(_co_order_edges(t), chunk=32)
         .orderBy(F.col("adamic_adar").desc(), "node_a", "node_b")
         .limit(20)
     )

@@ -15,6 +15,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: The wire schema Spark's kafka source emits (the subset we consume).
+#: A file/memory stream with this schema is decode-compatible, which is
+#: how the read path is CI-tested without a broker (test_streaming.py).
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, timestamp TIMESTAMP, "
+    "topic STRING, partition INT, offset LONG"
+)
+
+
+def decode_kafka_frame(
+    stream: DataFrame, value_schema_ddl: str | None = None
+) -> DataFrame:
+    """Decode a kafka-wire-schema frame into the engine's
+    ``(key, value, ts, topic, partition, offset [, parsed])`` stream
+    contract: key/value bytes as UTF-8 strings, and — when a DDL schema
+    is given — ``parsed`` as `from_json(value)`.
+
+    Split out of :func:`read_kafka_stream` so the decode + downstream
+    windowing path is executable in CI against a FileStreamSource
+    carrying :data:`KAFKA_WIRE_SCHEMA` (no broker in the test image);
+    only the `.format("kafka").load()` line itself needs the real
+    connector."""
+    decoded = stream.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("ts"),
+        "topic",
+        "partition",
+        "offset",
+    )
+    if value_schema_ddl is not None:
+        decoded = decoded.withColumn("parsed", F.from_json("value", value_schema_ddl))
+    return decoded
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -31,14 +66,4 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    decoded = stream.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-        F.col("timestamp").alias("ts"),
-        "topic",
-        "partition",
-        "offset",
-    )
-    if value_schema_ddl is not None:
-        decoded = decoded.withColumn("parsed", F.from_json("value", value_schema_ddl))
-    return decoded
+    return decode_kafka_frame(stream, value_schema_ddl)

@@ -174,3 +174,39 @@ def test_bpe_learn_merges_matches_python_reference(spark, words, n):
         for r in bpe_learn_merges(docs, num_merges=n).collect()
     ]
     assert got == expect
+
+
+@given(EDGES, st.sampled_from([1, 2, 4, 64]))
+@_SLOW
+def test_adamic_adar_matches_bruteforce(spark, edges, chunk):
+    """adamic_adar (hub-salted blocked wedge join) vs an itertools
+    reference: for every non-adjacent pair, sum 1/ln(deg(center)) over
+    common neighbors. chunk=1/2/4 force multi-block adjacency on these
+    12-node graphs, exercising the cross-block exactly-once coverage;
+    chunk=64 is the single-block (unsalted-equivalent) path."""
+    from amadou_spark.operators.graph import adamic_adar
+
+    es = _canon(edges)
+    if not es:
+        return
+    adj = _adj(es)
+    expect: dict = {}
+    for center, neigh in adj.items():
+        d = len(neigh)
+        if d < 2:
+            continue
+        w = 1.0 / math.log(d)
+        for a, b in itertools.combinations(sorted(neigh), 2):
+            if b in adj[a]:
+                continue  # existing edge: excluded by the anti-join
+            s, cn = expect.get((a, b), (0.0, 0))
+            expect[(a, b)] = (s + w, cn + 1)
+    expect = {
+        k: (round(v[0], 6), v[1]) for k, v in expect.items()
+    }
+    df = spark.createDataFrame(sorted(es), "u int, v int")
+    got = {
+        (r.node_a, r.node_b): (r.adamic_adar, r.common_neighbors)
+        for r in adamic_adar(df, chunk=chunk).collect()
+    }
+    assert got == expect

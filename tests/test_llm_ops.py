@@ -558,3 +558,78 @@ def test_duplicated_spans_planted(spark):
         for r in duplicated_spans(docs, window=8).collect()
     }
     assert got == {("d1", 2, 11, 10), ("d2", 1, 10, 10)}
+
+
+def test_kcore_raises_on_unconverged_bound(spark):
+    """Convergence contract (VERDICT r4 #5): a path graph peels one
+    layer per round under k=2, so max_rounds=1 cannot reach fixpoint —
+    the bounded result is a strict supergraph of the (empty) 2-core and
+    must RAISE by default instead of silently returning it;
+    on_exhausted='return' opts into the bounded peel (the q98-oracle
+    mirror mode), and a generous bound converges to the true answer."""
+    import pytest as _pytest
+
+    from amadou_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "u long, v long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(path, k=2, max_rounds=1)
+    partial = kcore(path, k=2, max_rounds=1, on_exhausted="return")
+    assert partial.count() > 0  # supergraph of the empty true 2-core
+    assert kcore(path, k=2, max_rounds=10).count() == 0
+    # a graph that IS its own k-core converges in one round regardless
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
+    assert kcore(tri, k=2, max_rounds=1).count() == 3
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    """ADVICE r4 (medium): marked starts differing by 2..window-1
+    overlap as token ranges and must merge into ONE maximal span —
+    the consecutive-start islands of r4 returned overlapping spans
+    whose span_len sum exceeded the document length. Fixture: in dA
+    the 4-token windows at pos 1 and pos 3 are duplicated (via dB/dC)
+    but pos 2 is not; maximal coverage of dA is the single span 1..6."""
+    from amadou_spark.llm.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            ("dA", "t u v w m n"),
+            ("dB", "t u v w"),
+            ("dC", "v w m n"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicated_spans(docs, window=4).collect()
+    }
+    assert got == {("dA", 1, 6, 6), ("dB", 1, 4, 4), ("dC", 1, 4, 4)}
+
+
+def test_duplicated_spans_are_disjoint_on_corpus(spark, sf_dir):
+    """Invariant from the fixed merge semantics: per document, spans
+    never overlap (each starts after the previous ends) so summed
+    span_len can never exceed the document's token count."""
+    from collections import defaultdict
+
+    from amadou_spark.catalog import load_table
+    from amadou_spark.llm.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = defaultdict(list)
+    for r in duplicated_spans(docs, window=8).collect():
+        spans[r.doc_id].append((r.span_start, r.span_end, r.span_len))
+    n_tokens = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n"
+        ).collect()
+    }
+    assert spans, "corpus fixture should contain duplicated substrings"
+    for doc_id, ss in spans.items():
+        ss.sort()
+        for (s1, e1, _), (s2, _, _) in zip(ss, ss[1:]):
+            assert s2 > e1, (doc_id, ss)
+        assert sum(l for _, _, l in ss) <= n_tokens[doc_id]

@@ -259,3 +259,63 @@ def test_foreachbatch_upsert_versioned_survives_out_of_order(spark, tmp_path):
 
     rows = {r.k: (r.ver, r.payload) for r in spark.read.parquet(table).collect()}
     assert rows == {1: (20, "new"), 2: (10, "b")}
+
+
+def test_kafka_read_path_decodes_and_windows(spark, sf_dir, tmp_path):
+    """Kafka read-path CI test without a broker (VERDICT r4 #6): the
+    events fixture is re-serialized into kafka wire shape (key/value
+    BINARY, timestamp, topic, partition, offset), streamed through a
+    FileStreamSource carrying KAFKA_WIRE_SCHEMA, decoded by the SAME
+    decode_kafka_frame that read_kafka_stream uses, and windowed by the
+    b06 tumbling aggregation — which must equal the batch result on the
+    original table. Only `.format("kafka").load()` itself stays
+    untested (needs the connector + a broker)."""
+    from amadou_spark.sources.kafka import (
+        KAFKA_WIRE_SCHEMA,
+        decode_kafka_frame,
+    )
+    from amadou_spark.streaming.windows import (
+        run_stream_to_table,
+        tumbling_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    wire_dir = str(tmp_path / "kafka_wire")
+    # ts rides inside the JSON value as epoch micros: exact roundtrip,
+    # no dependence on to_json/from_json timestamp format defaults
+    events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+            )
+        ).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+        F.lit("events").alias("topic"),
+        F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+    ).write.mode("overwrite").parquet(wire_dir)
+
+    wire = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(wire_dir)
+    ddl = (
+        "event_id LONG, user_id LONG, event_type STRING, "
+        "ts_us LONG, value DOUBLE"
+    )
+    decoded = decode_kafka_frame(wire, value_schema_ddl=ddl)
+    assert decoded.isStreaming
+    # the decode contract read_kafka_stream promises
+    for col in ("key", "value", "ts", "topic", "partition", "offset", "parsed"):
+        assert col in decoded.columns, decoded.columns
+
+    ev = decoded.select("parsed.*").withColumn(
+        "ts", F.timestamp_micros("ts_us")
+    )
+    stream_out = run_stream_to_table(tumbling_counts(ev), mode="complete")
+    batch_out = tumbling_counts(events)
+    assert _sorted_rows(stream_out, "wstart", "event_type") == _sorted_rows(
+        batch_out, "wstart", "event_type"
+    )

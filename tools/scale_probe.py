@@ -1,0 +1,234 @@
+"""Empirical scale probe beyond sf0.1 (VERDICT r4 #3).
+
+The 100 TB arguments for the iterative/quadratic-shaped operators are
+design-verified (plan audits, complexity notes); this tool adds one
+measured decade: it synthesizes an sf1-equivalent slice (10x sf0.1) for
+the tables those operators read, times each operator at sf0.1 and sf1
+(min-of-N), and records per-op wall-time ratios + scaling exponents in
+``BENCH_SCALE.json``.
+
+Construction of the sf1 slice (deterministic, replication-based — the
+driver's generator is not available, and for a SCALING measurement what
+matters is that per-replica data properties match sf0.1 exactly):
+
+- ``lineitem``: 10 key-shifted replicas. The order-key offset is a
+  multiple of 5 so the graph queries' ``l_orderkey % 5 = 0`` sample
+  selects the same orders in every replica — the co-order graph becomes
+  10 exact disjoint copies of the sf0.1 graph (same degree
+  distribution, 10x nodes/edges/wedges).
+- ``documents``: 10 id-shifted replicas; replicas > 0 get every token
+  prefixed with a replica tag, so no shingle/window/line collides
+  across replicas — posting-list and duplicate-cluster size
+  distributions match sf0.1 while corpus volume is 10x. (Verbatim
+  replication would instead create 10-way duplicate clusters
+  everywhere — a 100x-harder, distribution-breaking workload.)
+- every other table: symlink to the sf0.1 file (register_tables loads
+  all of them; the probed ops don't read them).
+
+Expected scaling at 10x disjoint data (see EXPECTED below): ~linear
+for everything except BFS, whose frontier explores one replica but
+whose per-round edge join still scans the full 10x edge list — also
+<= linear. An op is flagged when its measured exponent exceeds its
+documented bound + noise margin.
+
+Usage: python tools/scale_probe.py [--runs N] [--replicas K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+PROBE_DIR = os.path.join(REPO, "scale_probe_data", "sf1")
+
+#: op -> (documented complexity in data size n, exponent gate).
+#: Gates are the documented growth bound plus headroom for fixed
+#: overhead amortization and VM noise (MEMORY: timings drift 2-3x —
+#: hence min-of-N and a generous margin; sub-linear measurements are
+#: common because sf0.1 runs are overhead-dominated).
+EXPECTED = {
+    "q96_triangle_count": ("O(m^1.5) worst, linear on disjoint replicas", 1.3),
+    "q97_bfs_levels": ("O(rounds * |E|) edge scans, frontier in 1 replica", 1.3),
+    "q98_kcore": ("O(rounds * |E|), rounds fixed by peel depth", 1.3),
+    "q99_link_prediction": ("O(sum d^2) wedges, 10x disjoint -> linear", 1.3),
+    "llm_dedup_exact": ("one hash shuffle, linear", 1.3),
+    "llm_dedup_minhash": ("banded LSH, linear in docs at fixed dup rate", 1.3),
+    "llm_dedup_ngram_jaccard": ("inverted index, linear at fixed posting sizes", 1.3),
+    "llm_dedup_clusters": ("pairs + CC, linear at fixed cluster sizes", 1.3),
+    "llm_dedup_substrings": ("O(tokens) windows + hash agg, linear", 1.3),
+    "llm_bpe_learn_merges": ("rounds fixed, per-round O(distinct words)", 1.3),
+}
+
+
+def build_sf1(spark, replicas: int) -> dict:
+    """Synthesize the sf1 slice under PROBE_DIR; idempotent per layout
+    version (a marker file records the replica count)."""
+    marker = os.path.join(PROBE_DIR, f".built_r{replicas}")
+    if os.path.exists(marker):
+        return json.load(open(marker))
+    os.makedirs(PROBE_DIR, exist_ok=True)
+
+    from amadou_spark.contracts import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        if t in ("lineitem", "documents"):
+            continue
+        dst = os.path.join(PROBE_DIR, f"{t}.parquet")
+        if not os.path.lexists(dst):
+            os.symlink(os.path.join(SF01, f"{t}.parquet"), dst)
+
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    mx = li.agg(
+        F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
+    ).collect()[0]
+    off_o = (int(mx[0]) // 5 + 1) * 5  # multiple of 5: keeps %5 sample aligned
+    off_p, off_s = int(mx[1]) + 1, int(mx[2]) + 1
+    shifted = {"l_orderkey": off_o, "l_partkey": off_p, "l_suppkey": off_s}
+    rep = li.crossJoin(
+        spark.range(replicas).select(F.col("id").cast("bigint").alias("_r"))
+    ).select(
+        *[
+            (F.col(c) + F.col("_r") * shifted[c]).alias(c)
+            if c in shifted
+            else F.col(c)
+            for c in li.columns
+        ]
+    )
+    rep.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "lineitem.parquet")
+    )
+
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    off_d = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    rep_docs = docs.crossJoin(
+        spark.range(replicas).select(F.col("id").cast("bigint").alias("_r"))
+    ).select(
+        (F.col("doc_id") + F.col("_r") * off_d).alias("doc_id"),
+        F.when(F.col("_r") == 0, F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.expr(
+                    "transform(split(text, ' '), "
+                    "x -> concat('r', CAST(_r AS STRING), 'x', x))"
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        F.length(
+            F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), "
+                        "x -> concat('r', CAST(_r AS STRING), 'x', x))"
+                    ),
+                    " ",
+                )
+            )
+        ).cast("bigint").alias("n_chars"),
+    )
+    rep_docs.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "documents.parquet")
+    )
+
+    info = {
+        "replicas": replicas,
+        "lineitem_rows": rep.count(),
+        "documents_rows": rep_docs.count(),
+    }
+    json.dump(info, open(marker, "w"))
+    return info
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--ops", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from amadou_spark.queries import REGISTRY, _load
+    from amadou_spark.session import get_spark
+
+    spark = get_spark("amadou-scale-probe")
+    _load()
+    info = build_sf1(spark, args.replicas)
+    print("sf1 slice:", info, flush=True)
+
+    ops = args.ops or list(EXPECTED)
+    # warmup (footer caches, JIT, python workers)
+    REGISTRY["q01_scan_projection"].fn(spark, SF01).count()
+
+    results: dict[str, dict] = {}
+    samples: dict[tuple, list] = {}
+    for r in range(args.runs):  # full rounds A,B,C,A,B,C (bench.py style)
+        for name in ops:
+            for label, d in (("sf0.1", SF01), ("sf1", PROBE_DIR)):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, d).count()
+                samples.setdefault((name, label), []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+            spark.catalog.clearCache()
+        print(f"round {r + 1}/{args.runs} done", flush=True)
+
+    scale = float(args.replicas)
+    flagged = []
+    for name in ops:
+        t_small = min(samples[(name, "sf0.1")])
+        t_big = min(samples[(name, "sf1")])
+        ratio = t_big / t_small
+        exponent = math.log(ratio) / math.log(scale)
+        note, gate = EXPECTED[name]
+        ok = exponent <= gate
+        if not ok:
+            flagged.append(name)
+        results[name] = {
+            "sf0.1_sec": t_small,
+            "sf1_sec": t_big,
+            "ratio": round(ratio, 2),
+            "exponent": round(exponent, 3),
+            "gate": gate,
+            "ok": ok,
+            "complexity": note,
+            "samples": {
+                "sf0.1": samples[(name, "sf0.1")],
+                "sf1": samples[(name, "sf1")],
+            },
+        }
+        print(
+            f"{name}: {t_small:.2f}s -> {t_big:.2f}s "
+            f"ratio {ratio:.2f} exp {exponent:.2f} "
+            f"({'ok' if ok else 'SUPER-LINEAR'})",
+            flush=True,
+        )
+
+    out = {
+        "probe": "sf0.1->sf1 wall-time scaling",
+        "scale_factor": scale,
+        "runs_per_point": args.runs,
+        "aggregation": "min",
+        "slice": info,
+        "ops": results,
+        "flagged_super_linear": flagged,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"flagged": flagged, "n_ops": len(results)}))
+    return 0 if not flagged else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
