@@ -598,3 +598,281 @@ def llm_quality_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_vocab_oov",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), vocab AS (
+            SELECT tok FROM counts
+            QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 1000
+        ), per AS (
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+        FROM per ORDER BY doc_id
+    """,
+    description="vocabulary coverage / OOV-rate scoring (the tokenizer-"
+    "fit diagnostic run before committing a vocab): corpus top-1000 "
+    "tokens by frequency (deterministic (count DESC, token) cutoff — "
+    "TakeOrderedAndProject, never a global sort of the corpus), then "
+    "per-doc out-of-vocabulary fraction via ONE left join against the "
+    "structurally-bounded 1000-row broadcast vocab. At 100 TB the token "
+    "explode partial-aggregates map-side and only (token, count) pairs "
+    "and (doc_id, counters) ever shuffle",
+    tags=("llm", "text"),
+)
+def llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_mixture_weights",
+    oracle="""
+        WITH per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+               ROUND(CAST(total AS DOUBLE) / (k * n_tokens), 6)
+                   AS sample_weight
+        FROM per CROSS JOIN tot
+        ORDER BY source
+    """,
+    description="domain-mixture weighting (the static DoReMi-style "
+    "re-balancing step): per-source document/token counts from one "
+    "map-side-combined scan, then the per-source sampling weight that "
+    "equalizes token share across sources (weight = total/(k*tokens); "
+    "a source's docs are repeated/downsampled by it at training time). "
+    "The totals are a |sources|-row aggregate broadcast back — output "
+    "is one row per source regardless of corpus size",
+    tags=("llm", "curation"),
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("_total"),
+        F.count("*").cast("bigint").alias("_k"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("_total"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("_total").cast("double")
+                / (F.col("_k") * F.col("n_tokens")),
+                6,
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "llm_quality_mad",
+    oracle="""
+        WITH lens AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), med AS (
+            SELECT CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS med
+            FROM lens
+        ), mad AS (
+            SELECT CAST(quantile_cont(abs(n_tokens - med), 0.5) AS DOUBLE)
+                       AS mad
+            FROM lens CROSS JOIN med
+        ), scored AS (
+            SELECT doc_id, n_tokens,
+                   ROUND((0.6745 * (n_tokens - med)) / mad, 4) AS robust_z,
+                   ROUND(abs((0.6745 * (n_tokens - med)) / mad), 4) AS az
+            FROM lens CROSS JOIN med CROSS JOIN mad
+            WHERE mad > 0
+        )
+        SELECT doc_id, n_tokens, robust_z
+        FROM scored
+        ORDER BY az DESC, doc_id
+        LIMIT 20
+    """,
+    description="robust (MAD-based) length-outlier detection — the "
+    "quality gate that survives heavy-tailed corpora where mean/stddev "
+    "z-scores are dragged by the outliers themselves: median and median-"
+    "absolute-deviation via two exact interpolated-percentile "
+    "aggregations (each a 1-row broadcast back onto the scan), robust "
+    "z = 0.6745*(n-med)/mad, top-20 most extreme on the ROUNDED |z| so "
+    "the cutoff is ulp-stable. mad=0 (constant corpus) yields an empty "
+    "frame on both engines rather than a divide-by-zero",
+    tags=("llm", "quality"),
+)
+def llm_quality_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    lens = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    med = lens.agg(
+        F.expr("percentile(n_tokens, 0.5)").cast("double").alias("_med")
+    )
+    with_med = lens.join(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(n_tokens - _med), 0.5)")
+        .cast("double")
+        .alias("_mad")
+    )
+    z = (0.6745 * (F.col("n_tokens") - F.col("_med"))) / F.col("_mad")
+    return (
+        with_med.join(F.broadcast(mad))
+        .filter(F.col("_mad") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(z, 4).alias("robust_z"),
+            F.round(F.abs(z), 4).alias("_az"),
+        )
+        .orderBy(F.col("_az").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_tokens", "robust_z")
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' '
+                       || lead(tok, 2) OVER w AS gram
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), dg AS (
+            SELECT DISTINCT doc_id, gram FROM g
+        ), firsts AS (
+            SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram
+        )
+        SELECT dg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(SUM(CASE WHEN f.first_doc = dg.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN f.first_doc = dg.doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS novelty_rate
+        FROM dg JOIN firsts f ON dg.gram = f.gram
+        GROUP BY dg.doc_id ORDER BY dg.doc_id
+    """,
+    description="n-gram novelty scoring (the incremental-crawl "
+    "freshness / near-decontamination diagnostic): a doc's distinct "
+    "3-grams are 'novel' when no lower-doc_id document contains them "
+    "(min-doc_id-per-gram = first occurrence under the stable corpus "
+    "order). Shape at 100 TB: shingle explode -> distinct -> min-agg "
+    "on the gram key, and the firsts join reuses the SAME gram "
+    "partitioning Catalyst already produced for the aggregation — one "
+    "logical shuffle of (gram, doc_id) pairs, per-doc counters after",
+    tags=("llm", "text"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    grams = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(toks, 1, n3),
+                    F.slice(toks, 2, n3),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+                F.slice(toks, 3, n3),
+                lambda ab, c: F.concat_ws(" ", ab, c),
+            )
+        ).alias("gram"),
+    )
+    dg = grams.distinct()
+    firsts = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        dg.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_distinct_grams"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -688,3 +688,40 @@ def q100_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "q17b_ntile_windows",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cum_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    description="distribution window functions (completes the Q17 "
+    "ranking family): ntile(4) quartile assignment, percent_rank and "
+    "cume_dist per customer over a fully deterministic (totalprice "
+    "DESC, orderkey) order — tie-broken so both engines agree bitwise. "
+    "One shuffle on o_custkey; per-partition sort only",
+    tags=("sql", "window"),
+)
+def q17b_ntile_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

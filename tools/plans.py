@@ -28,7 +28,7 @@ REVIEW = {
     "llm_dedup_ngram_jaccard": "inverted-index self-join on 8-byte hashed shingles; shingle set materialized ONCE (eager checkpoint — broadcast consumers defeat ReusedExchange) and count joins hinted only under a provable row-bound gate, else AQE",
     "llm_similarity_topk": "corpus scanned once; query side broadcast; JVM fold for the dot product",
     "q31_asof_join": "as-of = tag-union + last() window: ONE shuffle on the key, no range explosion",
-    "llm_similarity_lsh": "signature+norm = one ArrowEvalPython (batched matmul); candidates from (band,value) equi-join",
+    "llm_similarity_lsh_recall": "LSH path under its recall gate: signature+norm = one ArrowEvalPython (batched matmul); candidates from (band,value) equi-join; exact side broadcast-joined for the hit count",
     "llm_dedup_simhash_pairs": "64-bit sig, 4×16-bit bands: 65,536 buckets/band equi-join, bit_count verify",
     "llm_split_train_val_test": "pure projection on the scan — no shuffle at all",
     "llm_sample_stratified": "one Exchange on the stratum key; per-stratum top-k inside the window sort",
@@ -59,10 +59,15 @@ REVIEW = {
     "q96_triangle_count": "degree-oriented wedge join: orientation caps out-degree at O(sqrt(m)) so no hub hotspot; oriented list checkpointed once for its three consumers",
     "q97_bfs_levels": "per-round frontier-edge equi-join + visited anti-join: cost O(frontier edges), never O(paths); early exit on drained frontier",
     "q98_kcore": "per-round endpoint-explode degree agg + two semi-joins; edge list only shrinks so round cost is monotone decreasing",
-    "q99_link_prediction": "wedge self-join on the symmetrized list + one anti-join removes existing edges; top-20 on rounded score via TakeOrdered",
+    "q99_link_prediction": "hub-salted wedge join: adjacency hash-blocked into ceil(d/32) chunks, block pairs equi-join on (center, blk_i, blk_j) so no key exceeds ~chunk rows/side; anti-join removes existing edges; top-20 via TakeOrdered",
     "q100_trend_fit": "per-group OLS: two stacked hash aggs (month rollup -> BIGINT moment sums), map-side combine both; single division at the end — no float accumulation",
     "llm_token_pmi": "two count tables off one explode; unigram join-back unhinted (broadcast while vocab small); top-30 on rounded score via TakeOrdered",
     "llm_dedup_substrings": "window hashing is a no-shuffle JVM projection; dup set from one map-side-combined agg; only (doc_id,pos,hash) ever shuffles — text stays out of every exchange",
+    "llm_vocab_oov": "vocab = TakeOrdered top-1000 of one map-side-combined token count; per-doc OOV via a single structurally-bounded broadcast left join",
+    "llm_mixture_weights": "one map-side-combined scan to |sources| rows; totals a 1-row broadcast back — output size independent of corpus size",
+    "llm_quality_mad": "median + MAD = two interpolated-percentile aggs, each a 1-row broadcast onto the scan; top-20 via TakeOrdered on rounded |z|",
+    "llm_ngram_novelty": "3-gram explode -> distinct -> min-agg on the gram key; firsts join reuses the aggregation's gram partitioning (no second shuffle of gram pairs)",
+    "q17b_ntile_windows": "three distribution windows share ONE shuffle+sort on o_custkey (same window spec)",
 }
 
 

@@ -215,6 +215,15 @@ def main() -> int:
             flush=True,
         )
 
+    # merge with any prior partial run (--ops chunking): per-op results
+    # replace by name, flags recomputed over the union
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if os.path.exists(path):
+        prior = json.load(open(path))
+        merged = dict(prior.get("ops", {}))
+        merged.update(results)
+        results = merged
+    flagged = [n for n, r in results.items() if not r["ok"]]
     out = {
         "probe": "sf0.1->sf1 wall-time scaling",
         "scale_factor": scale,
@@ -224,7 +233,7 @@ def main() -> int:
         "ops": results,
         "flagged_super_linear": flagged,
     }
-    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"flagged": flagged, "n_ops": len(results)}))
     return 0 if not flagged else 1
