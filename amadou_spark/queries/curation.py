@@ -876,3 +876,400 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dsir_weights",
+    oracle="""
+        WITH raw_toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                       % 256 AS b
+            FROM raw_toks
+        ), tgt AS (
+            SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b
+        ), raw AS (
+            SELECT b, count(*) AS cr FROM toks GROUP BY b
+        ), tots AS (
+            SELECT (SELECT SUM(ct) FROM tgt) AS nt,
+                   (SELECT SUM(cr) FROM raw) AS nr
+        ), ratio AS (
+            SELECT raw.b,
+                   LN((COALESCE(tgt.ct, 0) + 1.0) / (tots.nt + 256))
+                 - LN((raw.cr + 1.0) / (tots.nr + 256)) AS lr
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(lr), 4) AS dsir_logweight
+        FROM toks JOIN ratio ON toks.b = ratio.b
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="DSIR importance weights (Xie et al. 2023, Data "
+    "Selection via Importance Resampling): hashed-unigram features "
+    "(portable md5 -> 256 buckets), add-1-smoothed bucket "
+    "distributions for the target slice (lang='en') and the raw "
+    "corpus, per-doc weight = mean log p_target/p_raw over its "
+    "tokens — the importance-resampling score used to subsample raw "
+    "crawl toward a target domain. The feature space is FIXED at 256 "
+    "buckets, so both distribution tables partial-aggregate map-side "
+    "to <=256 rows and the scoring join is a structurally-bounded "
+    "broadcast; only (doc_id, bucket) pairs ever shuffle",
+    tags=("llm", "curation"),
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % 256
+            ).alias("b"),
+        )
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    raw = toks.groupBy("b").agg(F.count("*").alias("cr"))
+    tots = (
+        raw.agg(F.sum("cr").alias("nr"))
+        .crossJoin(tgt.agg(F.sum("ct").alias("nt")))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + 256)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + 256))
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lr"), 4).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), pos AS (
+            SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+            FROM e
+        ), cen AS (
+            SELECT label, list(ax ORDER BY i) AS c
+            FROM (SELECT label, i, avg(x) AS ax FROM pos GROUP BY label, i)
+            GROUP BY label
+        ), scored AS (
+            SELECT e.vec_id, e.label,
+                   ROUND(list_cosine_similarity(e.v, cen.c), 6) AS cos_r
+            FROM e JOIN cen USING (label)
+        ), ranked AS (
+            SELECT vec_id, label, cos_r,
+                   row_number() OVER (
+                       PARTITION BY label, (cos_r >= 0.30)
+                       ORDER BY cos_r DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT label, vec_id, cos_r AS cos_centroid,
+               CAST(CASE WHEN cos_r < 0.30 OR rn = 1
+                         THEN 1 ELSE 0 END AS INT) AS kept
+        FROM ranked ORDER BY label, vec_id
+    """,
+    description="semantic dedup (SemDeDup, Abbas et al. 2023, centroid-"
+    "screen form): per-cluster centroid = positionwise mean embedding, "
+    "cosine of every member to its centroid, and the tau-ball "
+    "(cos >= 0.30) around each centroid collapses to ONE canonical "
+    "member (highest cosine, vec_id tiebreak; members outside the ball "
+    "are all kept as diverse). Kept/dropped decided on the ROUNDED "
+    "cosine so both engines agree bitwise. Scale shape: centroids are "
+    "a |clusters|-row broadcast; the quadratic pairwise form is never "
+    "materialized — one posexplode agg + one broadcast join, vectors "
+    "cross no shuffle boundary except grouped by their own cluster",
+    tags=("llm", "dedup", "embeddings"),
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cen = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("ax"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ax"))),
+                lambda s: s.ax,
+            ).alias("c")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        e.join(F.broadcast(cen), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot / (norm(F.col("v")) * norm(F.col("c"))), 6).alias(
+                "cos_r"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("label", F.col("cos_r") >= 0.30).orderBy(
+            F.col("cos_r").desc(), "vec_id"
+        )
+    )
+    return (
+        scored.select(
+            "label",
+            "vec_id",
+            F.col("cos_r").alias("cos_centroid"),
+            F.when((F.col("cos_r") < 0.30) | (rn == 1), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("label", "vec_id")
+    )
+
+
+@query(
+    "llm_token_entropy",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM toks GROUP BY doc_id, tok
+        ), dl AS (
+            SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id
+        )
+        SELECT tf.doc_id,
+               CAST(dl.n AS BIGINT) AS n_tokens,
+               ROUND(-SUM((tf.c / CAST(dl.n AS DOUBLE))
+                          * LN(tf.c / CAST(dl.n AS DOUBLE))) / LN(2), 4)
+                   AS token_entropy
+        FROM tf JOIN dl USING (doc_id)
+        GROUP BY tf.doc_id, dl.n ORDER BY tf.doc_id
+    """,
+    description="per-document unigram Shannon entropy (bits): the "
+    "within-doc token distribution's H = -sum p log2 p — low entropy "
+    "flags template/boilerplate/repetition, complementing the corpus-"
+    "LM logprob score (which flags out-of-distribution text). One "
+    "(doc_id, tok) partial-agg then a per-doc fold; nothing but "
+    "counter pairs ever shuffles",
+    tags=("llm", "quality"),
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 4).alias(
+                "token_entropy"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "token_entropy",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_quality_gopher",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), per AS (
+            SELECT doc_id,
+                   count(*) AS n,
+                   AVG(CAST(len(tok) AS DOUBLE)) AS mwl,
+                   SUM(CASE WHEN tok IN ('a', 'the', 'to', 'of', 'and',
+                                         'in', 'is', 'it')
+                            THEN 1 ELSE 0 END) AS stop_hits,
+                   SUM(CASE WHEN len(tok) <= 2 THEN 1 ELSE 0 END)
+                       AS short_words,
+                   SUM(CASE WHEN regexp_matches(tok, '^[a-zA-Z]+$')
+                            THEN 1 ELSE 0 END) AS alpha_words
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               ROUND(mwl, 4) AS mean_word_len,
+               ROUND(CAST(stop_hits AS DOUBLE) / n, 6) AS stopword_frac,
+               ROUND(CAST(short_words AS DOUBLE) / n, 6) AS short_word_frac,
+               ROUND(CAST(alpha_words AS DOUBLE) / n, 6) AS alpha_word_frac,
+               CAST(CASE WHEN n BETWEEN 50 AND 100000
+                              AND mwl BETWEEN 3 AND 10
+                              AND stop_hits >= 2
+                         THEN 1 ELSE 0 END AS INT) AS gopher_pass
+        FROM per ORDER BY doc_id
+    """,
+    description="Gopher quality rules (Rae et al. 2021, Appendix A): "
+    "per-doc mean word length, stop-word fraction (their 'contains >=2 "
+    "of 8 common English words' rule), short-word and alphabetic-word "
+    "fractions, and the combined pass flag (50<=tokens<=100k, "
+    "3<=mean word len<=10, >=2 stop-word hits). One explode + one "
+    "map-side-combined aggregation per document — every rule rides "
+    "the same scan; at 100 TB only per-doc counters shuffle",
+    tags=("llm", "quality"),
+)
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    stop = ("a", "the", "to", "of", "and", "in", "is", "it")
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("tok").cast("double")).alias("mwl"),
+        F.sum(F.when(F.col("tok").isin(*stop), 1).otherwise(0)).alias(
+            "stop_hits"
+        ),
+        F.sum(F.when(F.length("tok") <= 2, 1).otherwise(0)).alias(
+            "short_words"
+        ),
+        F.sum(
+            F.when(F.col("tok").rlike("^[a-zA-Z]+$"), 1).otherwise(0)
+        ).alias("alpha_words"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round(F.col("stop_hits").cast("double") / F.col("n"), 6).alias(
+            "stopword_frac"
+        ),
+        F.round(F.col("short_words").cast("double") / F.col("n"), 6).alias(
+            "short_word_frac"
+        ),
+        F.round(F.col("alpha_words").cast("double") / F.col("n"), 6).alias(
+            "alpha_word_frac"
+        ),
+        F.when(
+            F.col("n").between(50, 100000)
+            & F.col("mwl").between(3, 10)
+            & (F.col("stop_hits") >= 2),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_curriculum_order",
+    oracle="""
+        WITH lens AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), bucketed AS (
+            SELECT doc_id, source, n_tokens,
+                   ntile(10) OVER (ORDER BY n_tokens, doc_id) AS difficulty
+            FROM lens
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY difficulty,
+                            CAST(('0x' || substring(md5(CAST(doc_id AS
+                                VARCHAR)), 1, 8)) AS BIGINT) % 997,
+                            doc_id) AS BIGINT) AS position,
+               doc_id, difficulty, n_tokens
+        FROM bucketed ORDER BY position
+    """,
+    description="curriculum ordering: docs are bucketed into 10 "
+    "difficulty deciles (token count as the cheap difficulty proxy, "
+    "deterministic tie-break) and emitted easy-to-hard, SHUFFLED "
+    "within each decile by a portable content hash — the standard "
+    "length-curriculum with reshard-stable intra-bucket order (no "
+    "seeded RNG whose membership drifts with partitioning). The "
+    "global position is a single window; at scale the same order is "
+    "realized as a sortWithinPartitions on (difficulty, hash) after "
+    "range-partitioning on the same key — no global single-task sort",
+    tags=("llm", "curation"),
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_tables(spark, sf_dir)
+    lens = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    difficulty = F.ntile(10).over(
+        W.orderBy("n_tokens", "doc_id")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 997
+    )
+    bucketed = lens.select(
+        "doc_id", "n_tokens", difficulty.alias("difficulty")
+    )
+    pos = F.row_number().over(
+        W.orderBy("difficulty", h.alias("h"), "doc_id")
+    )
+    return bucketed.select(
+        pos.cast("bigint").alias("position"),
+        "doc_id",
+        "difficulty",
+        "n_tokens",
+    ).orderBy("position")

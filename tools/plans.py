@@ -68,6 +68,11 @@ REVIEW = {
     "llm_quality_mad": "median + MAD = two interpolated-percentile aggs, each a 1-row broadcast onto the scan; top-20 via TakeOrdered on rounded |z|",
     "llm_ngram_novelty": "3-gram explode -> distinct -> min-agg on the gram key; firsts join reuses the aggregation's gram partitioning (no second shuffle of gram pairs)",
     "q17b_ntile_windows": "three distribution windows share ONE shuffle+sort on o_custkey (same window spec)",
+    "llm_dsir_weights": "fixed 256-bucket hashed-feature space: both distribution tables partial-agg map-side to <=256 rows and broadcast; only (doc_id, bucket) pairs shuffle",
+    "llm_semantic_dedup": "centroids = posexplode agg to |clusters| rows, broadcast back; pairwise form never materialized; tau-ball canonicalization is one window per cluster",
+    "llm_token_entropy": "(doc_id, tok) partial-agg then per-doc fold — counter pairs only, text never shuffles",
+    "llm_quality_gopher": "every rule rides ONE explode + one map-side-combined agg; per-doc counters only",
+    "llm_curriculum_order": "single window over (difficulty, hash); at scale realized as range-partition + sortWithinPartitions on the same key",
 }
 
 
