@@ -268,9 +268,55 @@ def bpe_learn_merges(
     Returns one row per learned rule: (merge_rank, left_sym, right_sym,
     merged, pair_count).
     """
-    from amadou_spark.scale import materialize_shared
-
     spark = docs.sparkSession
+    merges, _ = _bpe_induce(docs, text_col, num_merges)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+) -> DataFrame:
+    """Encode the corpus with the BPE table :func:`bpe_learn_merges`
+    induces — the application half of the tokenizer (Sennrich et al.
+    2016, "apply the learned operations").
+
+    Returns the DISTINCT-WORD encoding table ``(word, cnt, n_tokens,
+    encoded)`` with ``encoded`` the space-joined symbol sequence.  This
+    is the shape production tokenizers materialize: at 100 TB the
+    corpus re-tokenization is a broadcast/shuffle join of the token
+    stream against this table, so encoding cost is O(distinct words),
+    never O(corpus tokens).  Merge application uses the exact semantics
+    the learn loop used round-by-round (one left-to-right
+    non-overlapping ``replace`` per rule, in rank order), so
+    learn-then-encode round-trips bit-identically: concatenating a
+    word's symbols always reconstructs the word.
+    """
+    _, vocab = _bpe_induce(docs, text_col, num_merges)
+    syms = F.filter(
+        F.split(F.col("repr"), BPE_SEP), lambda x: x != F.lit("")
+    )
+    return vocab.select(
+        "word",
+        "cnt",
+        F.size(syms).cast("bigint").alias("n_tokens"),
+        F.array_join(syms, " ").alias("encoded"),
+    )
+
+
+def _bpe_induce(
+    docs: DataFrame,
+    text_col: str,
+    num_merges: int,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Shared BPE induction loop: returns (learned merge rules, final
+    word-frequency vocab with the fully-merged ``repr`` column)."""
+    from amadou_spark.scale import materialize_shared
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -319,8 +365,4 @@ def bpe_learn_merges(
             )
         )
 
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count bigint",
-    )
+    return merges, vocab

@@ -209,10 +209,13 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 6
 
 
-def _bpe_oracle(num_merges: int) -> str:
+def _bpe_oracle(num_merges: int, final: str = "merges") -> str:
     """Unrolled DuckDB mirror of ``bpe_learn_merges``: each round is a
     (pair-count, argmax, replace) CTE block over the previous round's
-    word-frequency vocab. ``replace`` in both engines is one
+    word-frequency vocab. ``final`` picks the projection: the learned
+    rule table (``merges``) or the encoded distinct-word table
+    (``encode``, mirroring ``bpe_encode``). ``replace`` in both
+    engines is one
     left-to-right non-overlapping pass, so the corpora stay
     bit-identical round to round; SUM(cnt) is cast back to BIGINT
     (DuckDB sums BIGINT into HUGEINT, which the driver hash rejects)."""
@@ -261,6 +264,17 @@ def _bpe_oracle(num_merges: int) -> str:
             FROM v{r - 1} v, a{r} a
         )"""
         )
+    if final == "encode":
+        blocks.append(
+            f"""
+        SELECT word, cnt,
+               CAST(len(list_filter(string_split(repr, '·'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               array_to_string(list_filter(string_split(repr, '·'),
+                                           x -> x <> ''), ' ') AS encoded
+        FROM v{num_merges} ORDER BY word"""
+        )
+        return "".join(blocks)
     union = "\n            UNION ALL\n".join(
         f"""            SELECT {r} AS merge_rank, s1 AS left_sym,
                    s2 AS right_sym, s1 || s2 AS merged, n AS pair_count
@@ -387,6 +401,28 @@ def llm_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir)
     return bpe_learn_merges(t["documents"], num_merges=_BPE_MERGES)
+
+
+@query(
+    "llm_bpe_encode",
+    oracle=_bpe_oracle(_BPE_MERGES, final="encode"),
+    description="BPE tokenizer APPLICATION (the other half of Sennrich "
+    "2016): the corpus's distinct words encoded with the merge table "
+    "the induction loop just learned — one row per word with its "
+    "symbol sequence and token count. This is the table production "
+    "tokenizers materialize: corpus re-tokenization becomes a join of "
+    "the token stream against it, so encode cost is O(distinct "
+    "words), never O(corpus tokens). Merge application reuses the "
+    "learn loop's replace semantics rule-by-rule in rank order, so "
+    "learn-then-encode round-trips bit-identically (concatenating a "
+    "word's symbols reconstructs the word — pinned by pytest)",
+    tags=("llm", "tokenizer", "iterative"),
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import bpe_encode
+
+    t = register_tables(spark, sf_dir)
+    return bpe_encode(t["documents"], num_merges=_BPE_MERGES).orderBy("word")
 
 
 @query(

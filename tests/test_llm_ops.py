@@ -633,3 +633,44 @@ def test_duplicated_spans_are_disjoint_on_corpus(spark, sf_dir):
         for (s1, e1, _), (s2, _, _) in zip(ss, ss[1:]):
             assert s2 > e1, (doc_id, ss)
         assert sum(l for _, _, l in ss) <= n_tokens[doc_id]
+
+
+def test_bpe_encode_roundtrip_and_planted_tokens(spark):
+    """bpe_encode: every word's symbol concatenation reconstructs the
+    word exactly (lossless round-trip), token counts match the symbol
+    sequence, and the planted 'low'x5 + 'lower'x2 corpus encodes to the
+    hand-computable segmentations after 3 merges (lo, low, er)."""
+    from amadou_spark.llm.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [("d1", " ".join(["low"] * 5)), ("d2", " ".join(["lower"] * 2))],
+        "doc_id string, text string",
+    )
+    rows = {r.word: r for r in bpe_encode(docs, num_merges=3).collect()}
+    assert rows["low"].encoded == "low"
+    assert rows["low"].n_tokens == 1
+    assert rows["lower"].encoded == "low er"
+    assert rows["lower"].n_tokens == 2
+    assert rows["low"].cnt == 5 and rows["lower"].cnt == 2
+    for r in rows.values():
+        syms = r.encoded.split(" ")
+        assert "".join(syms) == r.word
+        assert len(syms) == r.n_tokens
+
+
+def test_bpe_encode_roundtrip_on_corpus(spark, sf_dir):
+    """Corpus-wide lossless-reconstruction invariant: no word in the
+    sf0.001 documents table loses or gains a character through
+    learn-then-encode."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.catalog import register_tables
+    from amadou_spark.llm.text import bpe_encode
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    enc = bpe_encode(docs, num_merges=4)
+    bad = enc.filter(
+        (F.replace(F.col("encoded"), F.lit(" "), F.lit("")) != F.col("word"))
+        | (F.size(F.split(F.col("encoded"), " ")) != F.col("n_tokens"))
+    )
+    assert bad.count() == 0

@@ -73,6 +73,7 @@ REVIEW = {
     "llm_token_entropy": "(doc_id, tok) partial-agg then per-doc fold — counter pairs only, text never shuffles",
     "llm_quality_gopher": "every rule rides ONE explode + one map-side-combined agg; per-doc counters only",
     "llm_curriculum_order": "single window over (difficulty, hash); at scale realized as range-partition + sortWithinPartitions on the same key",
+    "llm_bpe_encode": "encode = the learn loop's final vocab projected to symbol sequences: O(distinct words), corpus re-tokenization is a join against this table",
 }
 
 
