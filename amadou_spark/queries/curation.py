@@ -977,24 +977,23 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").alias("ct")
+    # Target and raw bucket counts from ONE pass over the token stream
+    # (a conditional aggregate, not two scans): the corpus is exploded
+    # exactly twice overall — once for the distributions, once for the
+    # scoring join below — the minimum without caching the explode.
+    dist = toks.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    raw = toks.groupBy("b").agg(F.count("*").alias("cr"))
-    tots = (
-        raw.agg(F.sum("cr").alias("nr"))
-        .crossJoin(tgt.agg(F.sum("ct").alias("nt")))
+    tots = dist.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
     ratio = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        dist.crossJoin(F.broadcast(tots))
         .select(
             "b",
             (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("nt") + 256)
-                )
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + 256))
                 - F.log((F.col("cr") + 1.0) / (F.col("nr") + 256))
             ).alias("lr"),
         )
@@ -1137,6 +1136,8 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
     tf = (
         t["documents"]
         .select(
@@ -1145,11 +1146,12 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # Doc total as a window over the tf table (one shuffle on doc_id)
+    # instead of an agg + self-join (which shuffles tf twice more).
+    dl = tf.withColumn("n", F.sum("c").over(W.partitionBy("doc_id")))
     p = F.col("c") / F.col("n").cast("double")
     return (
-        tf.join(dl, "doc_id")
-        .groupBy("doc_id", "n")
+        dl.groupBy("doc_id", "n")
         .agg(
             F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 4).alias(
                 "token_entropy"

@@ -105,3 +105,34 @@ def test_graph_wedge_joins_are_equi(spark, sf_dir, name):
             assert "Cross" in line, f"non-cross BNLJ in {name}: {line}"
     # the wedge self-join survived as an equi-join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan         or "BroadcastHashJoin" in plan
+
+
+def test_date_partition_pruning_reaches_scan(spark, tmp_path):
+    """A date filter over a date-partitioned table must become a
+    PartitionFilters entry on the scan (directory pruning — at 100 TB
+    this is the difference between listing one partition and scanning
+    the table). Written via io.write_date_partition, read back with an
+    equality filter: the plan shows the pruned partition filter and the
+    scan reads only the matching partition's rows."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.dates import DateInterval
+    from amadou_spark.io import write_date_partition
+
+    root = str(tmp_path / "part_tbl")
+    for day in ("2024-03-01", "2024-03-02", "2024-03-03"):
+        df = spark.range(100).select(
+            F.col("id"), F.lit(day).alias("tag")
+        )
+        write_date_partition(df, root, DateInterval.parse(day))
+
+    got = spark.read.parquet(root).filter(F.col("date") == "2024-03-02")
+    plan = _formatted_plan(got)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "2024-03-02" in m.group(1), m.group(1)
+    # only the one partition's rows are read
+    assert got.count() == 100
+    assert [r.tag for r in got.select("tag").distinct().collect()] == [
+        "2024-03-02"
+    ]

@@ -67,13 +67,18 @@ EXPECTED = {
     "llm_dedup_clusters": ("pairs + CC, linear at fixed cluster sizes", 1.3),
     "llm_dedup_substrings": ("O(tokens) windows + hash agg, linear", 1.3),
     "llm_bpe_learn_merges": ("rounds fixed, per-round O(distinct words)", 1.3),
+    "llm_bpe_encode": ("rounds over distinct words + final projection, linear bound", 1.3),
+    "llm_dsir_weights": ("fixed 256-bucket features, two corpus passes, linear", 1.3),
+    "llm_vocab_oov": ("token count + bounded broadcast join, linear", 1.3),
+    "llm_ngram_novelty": ("gram explode -> distinct -> min-agg, linear at fixed dup structure", 1.3),
+    "llm_semantic_dedup": ("centroid agg + bounded broadcast, linear in vectors", 1.3),
 }
 
 
 def build_sf1(spark, replicas: int) -> dict:
     """Synthesize the sf1 slice under PROBE_DIR; idempotent per layout
     version (a marker file records the replica count)."""
-    marker = os.path.join(PROBE_DIR, f".built_r{replicas}")
+    marker = os.path.join(PROBE_DIR, f".built_v2_r{replicas}")
     if os.path.exists(marker):
         return json.load(open(marker))
     os.makedirs(PROBE_DIR, exist_ok=True)
@@ -81,7 +86,7 @@ def build_sf1(spark, replicas: int) -> dict:
     from amadou_spark.contracts import TABLE_NAMES
 
     for t in TABLE_NAMES:
-        if t in ("lineitem", "documents"):
+        if t in ("lineitem", "documents", "embeddings"):
             continue
         dst = os.path.join(PROBE_DIR, f"{t}.parquet")
         if not os.path.lexists(dst):
@@ -143,10 +148,30 @@ def build_sf1(spark, replicas: int) -> dict:
         os.path.join(PROBE_DIR, "documents.parquet")
     )
 
+    # embeddings: id- and label-shifted disjoint replicas — per-replica
+    # cluster structure (sizes, centroids, within-cluster geometry) is
+    # identical to sf0.1; 10x vectors AND 10x clusters, so centroid
+    # tables and tau-balls scale the way a 10x corpus would.
+    emb_dst = os.path.join(PROBE_DIR, "embeddings.parquet")
+    if os.path.islink(emb_dst):
+        os.unlink(emb_dst)  # layout v1 symlinked it
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    mx_e = emb.agg(F.max("vec_id"), F.max("label")).collect()[0]
+    off_v, off_l = int(mx_e[0]) + 1, int(mx_e[1]) + 1
+    rep_emb = emb.crossJoin(
+        spark.range(replicas).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("vec_id") + F.col("_r") * off_v).alias("vec_id"),
+        "embedding",
+        (F.col("label") + F.col("_r").cast("int") * off_l).alias("label"),
+    )
+    rep_emb.write.mode("overwrite").parquet(emb_dst)
+
     info = {
         "replicas": replicas,
         "lineitem_rows": rep.count(),
         "documents_rows": rep_docs.count(),
+        "embeddings_rows": rep_emb.count(),
     }
     json.dump(info, open(marker, "w"))
     return info
