@@ -1311,3 +1311,128 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difficulty",
         "n_tokens",
     ).orderBy("position")
+
+
+@query(
+    "llm_kmeans",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cid, v AS c
+            FROM e ORDER BY vec_id LIMIT 8
+        ), d1 AS (
+            SELECT e.vec_id, e.v, c0.cid,
+                   ROUND(list_distance(e.v, c0.c), 6) AS rd
+            FROM e CROSS JOIN c0
+        ), a1 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY rd, cid) AS rn
+                FROM d1) WHERE rn = 1
+        ), c1 AS (
+            SELECT cid, list(ax ORDER BY i) AS c FROM (
+                SELECT cid, i, ROUND(AVG(x), 6) AS ax FROM (
+                    SELECT cid, generate_subscripts(v, 1) AS i,
+                           unnest(v) AS x FROM a1)
+                GROUP BY cid, i) GROUP BY cid
+        ), d2 AS (
+            SELECT e.vec_id, e.v, c1.cid,
+                   ROUND(list_distance(e.v, c1.c), 6) AS rd
+            FROM e CROSS JOIN c1
+        ), a2 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY rd, cid) AS rn
+                FROM d2) WHERE rn = 1
+        ), c2 AS (
+            SELECT cid, list(ax ORDER BY i) AS c FROM (
+                SELECT cid, i, ROUND(AVG(x), 6) AS ax FROM (
+                    SELECT cid, generate_subscripts(v, 1) AS i,
+                           unnest(v) AS x FROM a2)
+                GROUP BY cid, i) GROUP BY cid
+        ), d3 AS (
+            SELECT e.vec_id, c2.cid,
+                   ROUND(list_distance(e.v, c2.c), 6) AS rd
+            FROM e CROSS JOIN c2
+        )
+        SELECT vec_id, cid AS cluster, rd AS dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY rd, cid) AS rn
+            FROM d3) WHERE rn = 1
+        ORDER BY vec_id
+    """,
+    description="distributed Lloyd's k-means (k=8, 2 fixed centroid "
+    "updates) over the embeddings table — the clustering step SemDeDup/"
+    "IVF-style pipelines run before per-cluster dedup or index build. "
+    "Spark-MLlib execution shape: centroids live on the driver and ride "
+    "into each assignment pass as literals, so assignment is a pure "
+    "per-row codegen expression (array_min over k rounded-distance "
+    "structs — no join, no shuffle, no UDF); the only shuffle per round "
+    "carries (cluster, dim, partial-mean) scalar triples, independent "
+    "of corpus size. Determinism: init = k lowest vec_ids, centroids "
+    "and distances rounded to 6 decimals, ties break to the lowest "
+    "cluster id — the DuckDB oracle unrolls the identical rounds and "
+    "hash-matches bitwise",
+    tags=("llm", "embeddings", "clustering"),
+)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.operators.clustering import kmeans
+
+    t = register_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return kmeans(e, "vec_id", "v", k=8, rounds=2).orderBy("vec_id")
+
+
+@query(
+    "llm_random_projection",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+                   CASE WHEN ascii(substr(
+                            md5(i.range || ':' || j.range), 1, 1)) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM range(16) i, range(64) j
+        ), pos AS (
+            SELECT vec_id,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+                       AS j,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        )
+        SELECT pos.vec_id, g.i AS dim,
+               ROUND(SUM(g.s * pos.x) / 8.0, 6) AS p
+        FROM pos JOIN g USING (j)
+        GROUP BY pos.vec_id, g.i
+        ORDER BY vec_id, dim
+    """,
+    description="Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "(Achlioptas 2003 +-1 sign matrix) — the cheap dimensionality cut a "
+    "pipeline applies before LSH/ANN when raw embeddings are wide. The "
+    "matrix is DERIVED, not stored: entry (i,j) = parity of the first "
+    "hex char of md5('i:j'), so the DuckDB oracle reconstructs it "
+    "bit-identically in SQL while Spark embeds it as literals. The "
+    "projection is one per-row array expression (16 zip_with folds) — "
+    "zero shuffle, zero Python, whole-stage codegen; output exploded to "
+    "(vec_id, dim, p) scalars for the hash gate",
+    tags=("llm", "embeddings", "similarity"),
+)
+def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.operators.clustering import random_projection
+
+    t = register_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                random_projection(F.col("v"), out_dim=16, in_dim=64)
+            ).alias("dim", "p"),
+        )
+        .orderBy("vec_id", "dim")
+    )
