@@ -633,3 +633,68 @@ def test_jl_sign_matrix_is_balanced_and_portable(spark):
         assert jl_sign(i, j) == s, (i, j)
     total = sum(s for _, _, s in sql)
     assert abs(total) < 200  # not degenerate all-ones
+
+
+def test_kmeans_matches_pure_python_lloyds(spark):
+    """Property-style pin: on pseudo-random vector sets the distributed
+    kmeans agrees EXACTLY (cluster and rounded dist) with a pure-Python
+    Lloyd's reference implementing the same determinism contract
+    (lowest-id init, 6-decimal rounding, lowest-cid tiebreak)."""
+    import math
+
+    def ref_kmeans(vecs, k, rounds):
+        ids = sorted(vecs)
+        cents = {i: list(vecs[vid]) for i, vid in enumerate(ids[:k])}
+
+        def assign(cents):
+            out = {}
+            for vid, v in vecs.items():
+                best = min(
+                    (
+                        round(
+                            math.sqrt(sum((a - b) ** 2 for a, b in zip(v, c))),
+                            6,
+                        ),
+                        cid,
+                    )
+                    for cid, c in cents.items()
+                )
+                out[vid] = (best[1], best[0])
+            return out
+
+        for _ in range(rounds):
+            a = assign(cents)
+            groups = {}
+            for vid, (cid, _) in a.items():
+                groups.setdefault(cid, []).append(vecs[vid])
+            cents = {
+                cid: [
+                    round(sum(v[i] for v in vs) / len(vs), 6)
+                    for i in range(len(vs[0]))
+                ]
+                for cid, vs in groups.items()
+            }
+        return assign(cents)
+
+    from amadou_spark.operators.clustering import kmeans
+
+    # three pseudo-random datasets from a hash-derived stream
+    for seed in (1, 2, 3):
+        vecs = {}
+        state = seed
+        for vid in range(37):
+            v = []
+            for _ in range(5):
+                state = (state * 1103515245 + 12345) % (2**31)
+                v.append((state % 2000) / 100.0 - 10.0)
+            vecs[vid] = v
+        df = spark.createDataFrame(
+            [(vid, v) for vid, v in sorted(vecs.items())],
+            "vec_id bigint, v array<double>",
+        )
+        got = {
+            r.vec_id: (r.cluster, r.dist)
+            for r in kmeans(df, "vec_id", "v", k=4, rounds=3).collect()
+        }
+        want = ref_kmeans(vecs, k=4, rounds=3)
+        assert got == want, f"seed {seed}"

@@ -74,6 +74,8 @@ REVIEW = {
     "llm_quality_gopher": "every rule rides ONE explode + one map-side-combined agg; per-doc counters only",
     "llm_curriculum_order": "single window over (difficulty, hash); at scale realized as range-partition + sortWithinPartitions on the same key",
     "llm_bpe_encode": "encode = the learn loop's final vocab projected to symbol sequences: O(distinct words), corpus re-tokenization is a join against this table",
+    "llm_kmeans": "assignment = pure per-row codegen (array_min over k literal-centroid distance structs) — no join/shuffle/UDF; the per-round update shuffles only (cluster, dim, partial-mean) scalar triples",
+    "llm_random_projection": "16 zip_with folds over literal sign rows: zero shuffle, zero Python; the only exchange is the final orderBy (gate-only)",
 }
 
 

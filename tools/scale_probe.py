@@ -72,6 +72,8 @@ EXPECTED = {
     "llm_vocab_oov": ("token count + bounded broadcast join, linear", 1.3),
     "llm_ngram_novelty": ("gram explode -> distinct -> min-agg, linear at fixed dup structure", 1.3),
     "llm_semantic_dedup": ("centroid agg + bounded broadcast, linear in vectors", 1.3),
+    "llm_kmeans": ("rounds fixed; per-round map assign + scalar-triple agg, linear", 1.3),
+    "llm_random_projection": ("per-row expression, zero shuffle, linear", 1.3),
 }
 
 
