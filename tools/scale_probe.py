@@ -74,6 +74,12 @@ EXPECTED = {
     "llm_semantic_dedup": ("centroid agg + bounded broadcast, linear in vectors", 1.3),
     "llm_kmeans": ("rounds fixed; per-round map assign + scalar-triple agg, linear", 1.3),
     "llm_random_projection": ("per-row expression, zero shuffle, linear", 1.3),
+    "q70_pagerank": ("O(rounds * |E|) contribution joins, rounds fixed", 1.3),
+    "llm_dedup_keep_best": ("cluster pipeline + window over clustered subset", 1.3),
+    "llm_split_leakage_safe": ("cluster pipeline + one left join", 1.3),
+    "llm_text_bm25": ("one explode feeds tf/dl/df, bounded stats broadcast", 1.3),
+    "llm_token_pmi": ("pair explode + exact counts, linear at fixed vocab", 1.3),
+    "llm_token_entropy": ("(doc,tok) partial agg + per-doc fold, linear", 1.3),
 }
 
 
