@@ -718,6 +718,68 @@ def bfs_levels(
     return visited.orderBy("node")
 
 
+def sssp(
+    edges: DataFrame, rounds: int = 3, source: int | None = None
+) -> DataFrame:
+    """Single-source shortest paths, ``rounds`` Bellman-Ford rounds
+    over a weighted directed edge list (src, dst, w) — the weighted
+    complement of :func:`bfs_levels` (hop counts ignore weights).
+
+    Returns (node BIGINT, dist BIGINT): the minimal path weight using
+    at most ``rounds`` edges, for every node so reachable. Fixed-round
+    by contract, like the oracle that unrolls it; a caller wanting the
+    exact fixpoint raises ``rounds`` to the graph diameter.
+
+    Frontier-optimized relaxation: round r relaxes only edges out of
+    nodes whose distance IMPROVED in round r-1 — provably identical to
+    relaxing every edge (an unimproved node re-offers exactly the
+    candidates already min-folded in round r-1) but per-round cost is
+    O(improved-frontier edges), never O(E) once the wave passes. Same
+    materialize_shared lineage cuts as the BFS/CC/PageRank loops; the
+    per-round min-agg combines map-side, so what shuffles is one
+    (node, candidate-dist) pair per reached node per partition.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("w").cast("bigint").alias("w"),
+    )
+    e = materialize_shared(e)
+    if source is None:
+        source = e.agg(F.min("src")).collect()[0][0]  # 1-row control
+        if source is None:
+            return spark.createDataFrame([], "node long, dist long")
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
+    frontier = dist  # nodes improved last round
+    for _ in range(rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = materialize_shared(
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        frontier = materialize_shared(
+            merged.join(
+                dist.withColumnRenamed("dist", "old"), "node", "left"
+            ).filter(
+                F.col("old").isNull() | (F.col("dist") < F.col("old"))
+            ).select("node", "dist")
+        )
+        dist = merged
+        if frontier.limit(1).count() == 0:
+            break
+    return dist.orderBy("node")
+
+
 def kcore(
     edges: DataFrame,
     k: int = 14,

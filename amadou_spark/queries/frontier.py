@@ -844,3 +844,76 @@ def q69_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_over_avg"),
     )
+
+
+@query(
+    "q102_sssp",
+    oracle="""
+        WITH e0 AS (
+            SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        ), edges AS (
+            SELECT src, dst, w FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM e0
+        ), d0 AS (
+            SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges
+        ), d1 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst AS node, d0.dist + e.w AS dist
+                FROM d0 JOIN edges e ON d0.node = e.src
+            ) GROUP BY node
+        ), d2 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst AS node, d1.dist + e.w AS dist
+                FROM d1 JOIN edges e ON d1.node = e.src
+            ) GROUP BY node
+        ), d3 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.dst AS node, d2.dist + e.w AS dist
+                FROM d2 JOIN edges e ON d2.node = e.src
+            ) GROUP BY node
+        )
+        SELECT node, dist FROM d3 ORDER BY node
+    """,
+    description="weighted single-source shortest paths: 3 Bellman-Ford "
+    "rounds over the supplier-part graph (weight = min line quantity "
+    "per edge, BIGINT so path sums are exact), source = lowest node id. "
+    "The operator relaxes only the IMPROVED frontier each round — "
+    "provably identical output to full-edge relaxation (an unimproved "
+    "node re-offers candidates already min-folded) at "
+    "O(frontier edges)/round; the oracle unrolls the equivalent full "
+    "relaxation as 3 CTE rounds. Complements q97 BFS (hop counts) with "
+    "weighted distances",
+    tags=("graph", "iterative"),
+)
+def q102_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.graph import sssp
+
+    t = register_tables(spark, sf_dir)
+    e0 = t["lineitem"].groupBy(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).agg(F.min("l_quantity").cast("bigint").alias("w"))
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("w")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    return sssp(edges, rounds=3)

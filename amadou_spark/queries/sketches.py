@@ -111,3 +111,100 @@ def q61_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(est["day"], "exact_users", within.alias("within_tol"))
         .orderBy(F.col("day").asc_nulls_last())
     )
+
+
+@query(
+    "q101_kmv_distinct",
+    oracle="""
+        WITH h AS (
+            SELECT DISTINCT l_returnflag AS flag,
+                   CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS hv
+            FROM lineitem
+        ), r AS (
+            SELECT flag, hv,
+                   row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn
+            FROM h
+        ), kth AS (
+            SELECT flag, hv AS hk FROM r WHERE rn = 64
+        ), mr AS (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT hv FROM h)
+        ), mk AS (
+            SELECT hv AS hk FROM mr WHERE rn = 64
+        ), exact AS (
+            SELECT l_returnflag AS flag,
+                   COUNT(DISTINCT l_partkey) AS exact_nd
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT exact.flag, exact.exact_nd,
+               CAST(ROUND(63 / (kth.hk / POWER(16.0, 15)), 0) AS BIGINT)
+                   AS kmv_estimate,
+               CAST(ROUND(63 / ((SELECT hk FROM mk) / POWER(16.0, 15)), 0)
+                    AS BIGINT) AS merged_estimate
+        FROM exact JOIN kth USING (flag)
+        ORDER BY flag
+    """,
+    description="KMV (k-minimum-values) distinct sketch, k=64 "
+    "(Bar-Yossef et al. 2002): per-group estimate = (k-1)/u_(k) over "
+    "the k smallest md5-derived hash fractions, plus the MERGED "
+    "estimate — the union of the per-group sketches re-screened to its "
+    "k minima — demonstrating the mergeability that makes KMV "
+    "partition-parallel at 100 TB (each partition keeps k hashes; "
+    "merge = k-smallest of the union; never a global distinct). The "
+    "hash is md5-derived so both engines build the SAME sketch and the "
+    "estimate is hash-checkable bitwise, unlike engine-specific HLL "
+    "registers (q61's tolerance gate). Exact counts ride along for "
+    "error inspection",
+    tags=("sketch", "approx"),
+)
+def q101_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"]
+    k = 64
+    hv = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h = (
+        li.select(F.col("l_returnflag").alias("flag"), hv.alias("hv"))
+        .distinct()
+    )
+    scale = F.lit(16.0) ** 15
+    kth = (
+        h.select(
+            "flag",
+            "hv",
+            F.row_number().over(W.partitionBy("flag").orderBy("hv")).alias("rn"),
+        )
+        .filter(F.col("rn") == k)
+    )
+    # merged sketch: k smallest of the distinct-hash union via
+    # orderBy+limit (plans as TakeOrderedAndProject — per-partition
+    # heaps of k, no global sort/window), then its max is u_(k)
+    merged_kth = (
+        h.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(F.max("hv").alias("mhv"))
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("exact_nd")
+    )
+    return (
+        exact.join(kth, "flag")
+        .crossJoin(F.broadcast(merged_kth))
+        .select(
+            "flag",
+            "exact_nd",
+            F.round((k - 1) / (F.col("hv") / scale), 0)
+            .cast("bigint")
+            .alias("kmv_estimate"),
+            F.round((k - 1) / (F.col("mhv") / scale), 0)
+            .cast("bigint")
+            .alias("merged_estimate"),
+        )
+        .orderBy("flag")
+    )

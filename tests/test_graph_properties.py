@@ -210,3 +210,44 @@ def test_adamic_adar_matches_bruteforce(spark, edges, chunk):
         for r in adamic_adar(df, chunk=chunk).collect()
     }
     assert got == expect
+
+
+WEDGE = st.tuples(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=1, max_value=20),
+)
+WEIGHTED_EDGES = st.lists(WEDGE, min_size=1, max_size=22)
+
+
+@given(edges=WEIGHTED_EDGES, rounds=st.integers(min_value=1, max_value=4))
+@_SLOW
+def test_sssp_matches_full_relaxation_bellman_ford(spark, edges, rounds):
+    """The frontier-optimized distributed SSSP must agree exactly with
+    the textbook full-edge-relaxation Bellman-Ford at the same round
+    bound — pinning both correctness and the frontier-restriction
+    equivalence claim in the operator docstring."""
+    from amadou_spark.operators.graph import sssp
+
+    es = [(u, v, w) for u, v, w in edges if u != v]
+    if not es:
+        return
+    # directed multigraph: keep the min weight per (src, dst)
+    best: dict = {}
+    for u, v, w in es:
+        if (u, v) not in best or w < best[(u, v)]:
+            best[(u, v)] = w
+    src = min(u for u, _ in best)
+    dist = {src: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (u, v), w in best.items():
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    df = spark.createDataFrame(
+        sorted((u, v, w) for (u, v), w in best.items()),
+        "src int, dst int, w int",
+    )
+    got = {r.node: r.dist for r in sssp(df, rounds=rounds).collect()}
+    assert got == dist

@@ -76,6 +76,8 @@ REVIEW = {
     "llm_bpe_encode": "encode = the learn loop's final vocab projected to symbol sequences: O(distinct words), corpus re-tokenization is a join against this table",
     "llm_kmeans": "assignment = pure per-row codegen (array_min over k literal-centroid distance structs) — no join/shuffle/UDF; the per-round update shuffles only (cluster, dim, partial-mean) scalar triples",
     "llm_random_projection": "16 zip_with folds over literal sign rows: zero shuffle, zero Python; the only exchange is the final orderBy (gate-only)",
+    "q101_kmv_distinct": "per-group sketch = window over (flag, hash); merged sketch = TakeOrderedAndProject k-minima (per-partition heaps, no global sort) then a 1-row broadcast",
+    "q102_sssp": "per-round frontier equi-join + map-side-combined min agg; frontier restriction keeps round cost at O(improved edges), never O(E)",
 }
 
 
