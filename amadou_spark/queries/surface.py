@@ -725,3 +725,86 @@ def q17b_ntile_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "q103_feature_pack",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, value,
+                   lag(value, 1) OVER uw AS lag1,
+                   lag(value, 2) OVER uw AS l2,
+                   lag(value, 3) OVER uw AS l3,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(lag(ts, 1) OVER uw)) AS BIGINT)
+                       AS delta_ts,
+                   ROUND(AVG(value) OVER
+                       (uw ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+                       AS roll_mean4,
+                   ROUND(COALESCE(STDDEV_SAMP(value) OVER
+                       (uw ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 0.0), 4)
+                       AS roll_std4
+            FROM events
+            WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, ROUND(value, 4) AS value,
+               ROUND(lag1, 4) AS lag1, delta_ts, roll_mean4, roll_std4,
+               ROUND(
+                 (value + COALESCE(0.8 * lag1, 0)
+                        + COALESCE(0.64 * l2, 0)
+                        + COALESCE(0.512 * l3, 0))
+                 / (1 + CASE WHEN lag1 IS NULL THEN 0 ELSE 0.8 END
+                      + CASE WHEN l2 IS NULL THEN 0 ELSE 0.64 END
+                      + CASE WHEN l3 IS NULL THEN 0 ELSE 0.512 END),
+                 4) AS ewma4
+        FROM w ORDER BY event_id
+    """,
+    description="time-series feature-engineering pack over the events "
+    "stream: lag-1 value, inter-event seconds, rolling mean/std "
+    "(4-row frame), and a truncated 4-tap EWMA (alpha=0.8, weights "
+    "renormalized over the taps that exist so early rows are unbiased) "
+    "— the per-entity features a training pipeline materializes before "
+    "sequence modeling. ALL columns ride ONE window spec (partition "
+    "user_id, order ts+event_id): one shuffle, one sort, seven "
+    "features; the EWMA truncation is what keeps it expressible as a "
+    "frame instead of a recursive scan",
+    tags=("windows", "features", "events"),
+)
+def q103_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fr = uw.rowsBetween(-3, 0)
+    lag1 = F.lag("value", 1).over(uw)
+    l2 = F.lag("value", 2).over(uw)
+    l3 = F.lag("value", 3).over(uw)
+    num = (
+        F.col("value")
+        + F.coalesce(0.8 * lag1, F.lit(0.0))
+        + F.coalesce(0.64 * l2, F.lit(0.0))
+        + F.coalesce(0.512 * l3, F.lit(0.0))
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(lag1.isNull(), 0.0).otherwise(0.8)
+        + F.when(l2.isNull(), 0.0).otherwise(0.64)
+        + F.when(l3.isNull(), 0.0).otherwise(0.512)
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(lag1, 4).alias("lag1"),
+            (
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts"), 1).over(uw).cast("long")
+            ).alias("delta_ts"),
+            F.round(F.avg("value").over(fr), 4).alias("roll_mean4"),
+            F.round(
+                F.coalesce(F.stddev_samp("value").over(fr), F.lit(0.0)), 4
+            ).alias("roll_std4"),
+            F.round(num / den, 4).alias("ewma4"),
+        )
+        .orderBy("event_id")
+    )

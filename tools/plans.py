@@ -78,6 +78,7 @@ REVIEW = {
     "llm_random_projection": "16 zip_with folds over literal sign rows: zero shuffle, zero Python; the only exchange is the final orderBy (gate-only)",
     "q101_kmv_distinct": "per-group sketch = window over (flag, hash); merged sketch = TakeOrderedAndProject k-minima (per-partition heaps, no global sort) then a 1-row broadcast",
     "q102_sssp": "per-round frontier equi-join + map-side-combined min agg; frontier restriction keeps round cost at O(improved edges), never O(E)",
+    "q103_feature_pack": "seven features, ONE Window operator, one shuffle+sort on (user_id | ts,event_id); the only other exchange is the gate's final orderBy",
 }
 
 
