@@ -80,6 +80,7 @@ EXPECTED = {
     "llm_text_bm25": ("one explode feeds tf/dl/df, bounded stats broadcast", 1.3),
     "llm_token_pmi": ("pair explode + exact counts, linear at fixed vocab", 1.3),
     "llm_token_entropy": ("(doc,tok) partial agg + per-doc fold, linear", 1.3),
+    "q102_sssp": ("O(rounds * frontier edges), rounds fixed", 1.3),
 }
 
 
