@@ -941,7 +941,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               ROUND(AVG(lr), 4) AS dsir_logweight
+               ROUND(AVG(lr), 4) + 0.0 AS dsir_logweight
         FROM toks JOIN ratio ON toks.b = ratio.b
         GROUP BY doc_id ORDER BY doc_id
     """,
@@ -1003,7 +1003,10 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(F.avg("lr"), 4).alias("dsir_logweight"),
+            # + 0.0 normalizes a rounded -0.0 to +0.0 (IEEE: -0.0 + 0.0
+            # = +0.0) on BOTH engines — the driver hash distinguishes
+            # signed zeros even though == does not (caught at sf0.1)
+            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("dsir_logweight"),
         )
         .orderBy("doc_id")
     )
