@@ -753,30 +753,34 @@ def sssp(
     dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
     frontier = dist  # nodes improved last round
     for _ in range(rounds):
-        cand = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-            )
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+        # raw relaxation rows fold into the SAME min-agg as the carry-
+        # over distances: one shuffle per round, not a candidate-side
+        # pre-agg plus a merge agg (min of mins == min of the union;
+        # map-side partial aggregation still combines before the wire)
+        cand = frontier.join(e, frontier["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
         )
         merged = materialize_shared(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        frontier = materialize_shared(
+        # the improved frontier stays LAZY: it joins two already-
+        # materialized frames (merged and the pre-update dist), so its
+        # lineage is depth-1 and it is evaluated exactly once — inside
+        # the next round's cand job. One Spark action per round total;
+        # no per-round early-exit count (rounds is a small fixed bound
+        # and a drained frontier makes the remaining rounds empty
+        # joins, i.e. near-free).
+        frontier = (
             merged.join(
                 dist.withColumnRenamed("dist", "old"), "node", "left"
-            ).filter(
-                F.col("old").isNull() | (F.col("dist") < F.col("old"))
-            ).select("node", "dist")
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
         )
         dist = merged
-        if frontier.limit(1).count() == 0:
-            break
     return dist.orderBy("node")
 
 

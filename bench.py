@@ -83,7 +83,16 @@ def main() -> None:
     # headline metric = the declared benchmark set (BASELINE.md): SURVEY
     # §2.2 Tier A (Q01-Q30). Tier B / LLM / extension timings are still
     # reported per-query and summed in value_all.
-    tier_a = {k: v for k, v in timings.items() if k.startswith("q") and k[1:3].isdigit() and int(k[1:3]) <= 30}
+    # (full numeric prefix, not k[1:3]: the 2-char slice let q100+ leak
+    # into the Q01-Q30 headline — q100_trend_fit inflated r4's value by
+    # ~0.5 s and q101-q103 would distort it further)
+    import re as _re
+
+    def _tier_a_num(k: str) -> int:
+        m = _re.match(r"q(\d+)", k)
+        return int(m.group(1)) if m else 999
+
+    tier_a = {k: v for k, v in timings.items() if _tier_a_num(k) <= 30}
     total = sum(tier_a.values())
     total_all = sum(timings.values())
 
