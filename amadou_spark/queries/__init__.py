@@ -152,6 +152,7 @@ def _load() -> None:
     if _LOADED:
         return
     from amadou_spark.queries import (  # noqa: F401
+        analytics,
         curation,
         extensions,
         frontier,

@@ -1,0 +1,374 @@
+"""Statistical / time-series analytics queries (round 5 widening).
+
+The reference framework (see SURVEY.md §2) ships no statistics layer;
+these operators extend the declared surface with the per-group
+statistical primitives a training-data/feature pipeline runs at scale:
+autocorrelation, inequality/concentration indices, changepoint scans,
+correlation matrices and rolling anomaly detection. Every query is
+ANSI-SQL-expressible and oracle-gated; every plan is one or two hash
+aggregations and at most one window sort — no collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from amadou_spark.catalog import register_tables
+from amadou_spark.queries import query
+
+
+@query(
+    "q104_autocorr",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type, v,
+                   lag(v, 1) OVER w AS v1,
+                   lag(v, 2) OVER w AS v2,
+                   lag(v, 3) OVER w AS v3
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               ROUND(corr(v, v1), 4) AS acf1,
+               ROUND(corr(v, v2), 4) AS acf2,
+               ROUND(corr(v, v3), 4) AS acf3
+        FROM lagged
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="autocorrelation function (lags 1-3) of the daily mean "
+    "event value per event type — the stationarity diagnostic run "
+    "before sequence modeling. Daily rollup (one map-side-combined "
+    "agg), one window sort per type for the lags, then corr() per lag "
+    "in a single second agg. At 100 TB the daily rollup collapses the "
+    "data 10^6x before the window ever sorts, so the lag/corr stage "
+    "is trivially small; nothing driver-side",
+    tags=("stats", "timeseries", "events"),
+)
+def q104_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.corr("v", "v1"), 4).alias("acf1"),
+            F.round(F.corr("v", "v2"), 4).alias("acf2"),
+            F.round(F.corr("v", "v3"), 4).alias("acf3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q105_gini",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey)
+                       AS i
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND((2.0 * SUM(i * o_totalprice)
+                      - (count(*) + 1) * SUM(o_totalprice))
+                     / (count(*) * SUM(o_totalprice)), 6) AS gini
+        FROM r
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Gini inequality coefficient of order value per "
+    "priority class via the rank formula G = (2*SUM(i*x_i) - (n+1)*"
+    "SUM(x)) / (n*SUM(x)) over values ranked ascending — how "
+    "concentrated spend is within each class. One window sort "
+    "(partition priority, order value) plus one agg; equal values "
+    "contribute identically under any tie permutation, so the "
+    "orderkey tie-break only pins both engines to the same ranks, "
+    "not the result. The same two-stage shape holds at 100 TB: the "
+    "sort is per-group and spill-safe, the agg map-side combines",
+    tags=("stats",),
+)
+def q105_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = t["orders"].select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count("*")
+    sx = F.sum("o_totalprice")
+    six = F.sum(F.col("i") * F.col("o_totalprice"))
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            n.alias("n_orders"),
+            F.round(
+                (2.0 * six - (n + 1) * sx) / (n * sx), 6
+            ).alias("gini"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q106_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, AVG(x) AS mu FROM daily GROUP BY 1
+        ), s AS (
+            SELECT d.event_type, d.day,
+                   ROUND(ABS(SUM(d.x - m.mu) OVER
+                       (PARTITION BY d.event_type ORDER BY d.day)), 4)
+                       AS abs_s
+            FROM daily d JOIN m USING (event_type)
+        ), peak AS (
+            SELECT event_type, MAX(abs_s) AS peak_s FROM s GROUP BY 1
+        )
+        SELECT s.event_type, MIN(s.day) AS change_day, peak.peak_s
+        FROM s JOIN peak
+          ON s.event_type = peak.event_type AND s.abs_s = peak.peak_s
+        GROUP BY s.event_type, peak.peak_s
+        ORDER BY s.event_type
+    """,
+    description="CUSUM changepoint scan over the daily event-count "
+    "series per type: S_i = cumsum(x_i - mean), changepoint = argmax "
+    "|S| (Page 1954). Daily rollup, per-type mean joined back "
+    "(broadcast — one row per type), one window cumsum, then a "
+    "max-join argmax with a MIN(day) tie-break so both engines pick "
+    "the same peak. The rollup-first shape keeps the window input at "
+    "O(days x types) regardless of raw volume",
+    tags=("stats", "timeseries", "events"),
+)
+def q106_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    m = daily.groupBy("event_type").agg(F.avg("x").alias("mu"))
+    w = W.partitionBy("event_type").orderBy("day")
+    s = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        F.round(F.abs(F.sum(F.col("x") - F.col("mu")).over(w)), 4).alias(
+            "abs_s"
+        ),
+    )
+    peak = (
+        s.groupBy(F.col("event_type").alias("pk_type"))
+        .agg(F.max("abs_s").alias("peak_s"))
+    )
+    return (
+        s.join(
+            F.broadcast(peak),
+            (F.col("event_type") == F.col("pk_type"))
+            & (F.col("abs_s") == F.col("peak_s")),
+        )
+        .groupBy("event_type", "peak_s")
+        .agg(F.min("day").alias("change_day"))
+        .select("event_type", "change_day", "peak_s")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q107_corr_matrix",
+    oracle="""
+        WITH c AS (
+            SELECT corr(l_quantity, l_extendedprice) AS qty_price,
+                   corr(l_quantity, l_discount)      AS qty_disc,
+                   corr(l_quantity, l_tax)           AS qty_tax,
+                   corr(l_extendedprice, l_discount) AS price_disc,
+                   corr(l_extendedprice, l_tax)      AS price_tax,
+                   corr(l_discount, l_tax)           AS disc_tax
+            FROM lineitem
+        )
+        SELECT col_x, col_y, ROUND(r, 4) AS r FROM (
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                   qty_price AS r FROM c
+            UNION ALL SELECT 'l_quantity', 'l_discount', qty_disc FROM c
+            UNION ALL SELECT 'l_quantity', 'l_tax', qty_tax FROM c
+            UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                             price_disc FROM c
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', price_tax FROM c
+            UNION ALL SELECT 'l_discount', 'l_tax', disc_tax FROM c
+        ) ORDER BY col_x, col_y
+    """,
+    description="pairwise Pearson correlation matrix of the lineitem "
+    "numeric measures in long form (C(4,2)=6 pairs) — the feature-"
+    "redundancy screen run before model training. All six corr() "
+    "aggregates ride ONE scan and one map-side-combinable agg (Spark "
+    "fuses them into a single ObjectHashAggregate); the 6-row result "
+    "is then unpivoted driver-free via stack(). At 100 TB this stays "
+    "a single pass over the fact table regardless of pair count",
+    tags=("stats",),
+)
+def q107_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    aggd = t["lineitem"].agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        aggd.selectExpr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, r)"
+        )
+        .orderBy("col_x", "col_y")
+    )
+
+
+@query(
+    "q108_hhi_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT s_nationkey, SUM(r) AS tr,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM rev GROUP BY 1
+        )
+        SELECT n.n_name, tot.n_suppliers,
+               ROUND(SUM((rev.r / tot.tr) * (rev.r / tot.tr)), 6) AS hhi
+        FROM rev
+        JOIN tot USING (s_nationkey)
+        JOIN nation n ON n.n_nationkey = rev.s_nationkey
+        GROUP BY n.n_name, tot.n_suppliers
+        ORDER BY n.n_name
+    """,
+    description="Herfindahl-Hirschman concentration index of supplier "
+    "revenue share within each nation (HHI = SUM(share^2); 1/n = "
+    "perfectly even, 1 = monopoly). Fact-dim join (supplier broadcast), "
+    "supplier-level revenue rollup, per-nation totals joined back "
+    "(25-row broadcast), one final agg. The heavy lineitem aggregation "
+    "happens FIRST, so everything after it is dimension-sized — the "
+    "canonical share-of-total shape at 100 TB",
+    tags=("stats", "tpch"),
+)
+def q108_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("tr"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("r") / F.col("tr")
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("n_name", "n_suppliers")
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q109_rolling_anomaly",
+    oracle="""
+        WITH z AS (
+            SELECT event_id, user_id, value,
+                   AVG(value) OVER pw AS mu,
+                   STDDEV_SAMP(value) OVER pw AS sd,
+                   COUNT(*) OVER pw AS n_hist
+            FROM events
+            WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ROUND(value, 4) AS value,
+               ROUND((value - mu) / sd, 3) AS z
+        FROM z
+        WHERE n_hist >= 8 AND sd > 1e-9 AND ABS((value - mu) / sd) > 2.5
+        ORDER BY event_id
+    """,
+    description="rolling z-score anomaly detector over each user's "
+    "event-value stream: score each point against the mean/std of its "
+    "own PRIOR 20 events (frame ends at 1 PRECEDING so the point never "
+    "contaminates its own baseline), flag |z| > 2.5 after an 8-event "
+    "warmup. ONE window spec carries mean, std and history count — one "
+    "shuffle on user_id, one per-partition sort, streaming frame "
+    "evaluation. This is the online-monitoring shape: at 100 TB the "
+    "same plan runs per-key incrementally under Structured Streaming "
+    "(b07's applyInPandasWithState variant)",
+    tags=("stats", "timeseries", "events"),
+)
+def q109_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    pw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = t["events"].select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(pw).alias("mu"),
+        F.stddev_samp("value").over(pw).alias("sd"),
+        F.count("*").over(pw).alias("n_hist"),
+    )
+    zscore = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        z.filter(
+            (F.col("n_hist") >= 8)
+            & (F.col("sd") > 1e-9)
+            & (F.abs(zscore) > 2.5)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(zscore, 3).alias("z"),
+        )
+        .orderBy("event_id")
+    )
