@@ -372,3 +372,243 @@ def q109_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q111_fuzzy_name_pairs",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        blocked AS (
+            SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names
+        )
+        SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY a.blk, name_a, name_b
+    """,
+    description="blocked fuzzy record linkage over part names: "
+    "canonicalize to DISTINCT name strings first (entity resolution "
+    "always dedups to the entity table before pairwise work), block "
+    "on the first token so the quadratic comparison runs within "
+    "blocks only, then Levenshtein-score candidate pairs and keep "
+    "edit distance <= 4. The distinct-then-block shape is the 100 TB "
+    "contract: pairwise cost is sum over blocks of |block|^2 on the "
+    "DISTINCT entity table (tiny), never on the raw fact rows; "
+    "levenshtein runs JVM-side on both engines",
+    tags=("linkage", "text"),
+)
+def q111_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    names = t["part"].select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 4)
+        .select(
+            F.col("a.blk").alias("blk"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+        .orderBy("blk", "name_a", "name_b")
+    )
+
+
+@query(
+    "q112_assortativity",
+    oracle="""
+        WITH pl AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_orderkey % 5 = 0),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e
+                  UNION ALL SELECT v AS node FROM e)
+            GROUP BY node
+        ),
+        sym AS (
+            SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v AS a, u AS b FROM e
+        )
+        SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+               ROUND(corr(da.d, db.d), 4) AS assortativity
+        FROM sym
+        JOIN deg da ON sym.a = da.node
+        JOIN deg db ON sym.b = db.node
+    """,
+    description="degree assortativity of the co-order part graph "
+    "(Newman 2002): Pearson correlation of endpoint degrees over the "
+    "symmetrized edge list — do high-degree parts co-order with other "
+    "high-degree parts? Shares the q96-q99 sampled edge builder "
+    "(lockstep CTEs); two degree joins (the degree table is node-"
+    "sized, broadcastable) and ONE corr aggregate. No wedge "
+    "materialization — edge-linear, hub-safe at any scale",
+    tags=("graph", "stats"),
+)
+def q112_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.queries.frontier import _co_order_edges
+
+    t = register_tables(spark, sf_dir)
+    e = _co_order_edges(t).distinct()
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    return (
+        sym.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_edges"),
+            F.round(F.corr("deg_a", "deg_b"), 4).alias("assortativity"),
+        )
+    )
+
+
+@query(
+    "q113_zipf_fit",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ), cnt AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok
+            WHERE t <> '' GROUP BY t
+        ), ranked AS (
+            SELECT ln(row_number() OVER (ORDER BY c DESC, t)) AS x,
+                   ln(c) AS y
+            FROM cnt
+            ORDER BY c DESC, t LIMIT 500
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            FROM ranked
+        )
+        SELECT n AS n_ranks,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               ROUND((sy - (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx) * sx) / n, 4)
+                   AS log_intercept
+        FROM s
+    """,
+    description="Zipf's-law fit over the document corpus: OLS slope "
+    "of ln(frequency) on ln(rank) for the top-500 tokens (natural "
+    "corpora run slope ~ -1; a far-off slope flags synthetic or "
+    "degenerate text — a standard corpus-health check). Token count "
+    "(map-side combined), top-500 via TakeOrderedAndProject with a "
+    "full (count DESC, token) tie-break so both engines rank "
+    "identically, then the q100 BIGINT-moment regression shape on "
+    "500 rows. The heavy stage is the token count; everything after "
+    "is constant-sized regardless of corpus scale",
+    tags=("text", "stats"),
+)
+def q113_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    cnt = (
+        t["documents"]
+        .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.col("c").desc(), "t").limit(500)
+    w = W.orderBy(F.col("c").desc(), "t")
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "log_intercept"
+        ),
+    )
+
+
+@query(
+    "q114_lexical_diversity",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ), cnt AS (
+            SELECT source, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE t <> '' GROUP BY source, t
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               ROUND(count(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+               ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+        FROM cnt GROUP BY source ORDER BY source
+    """,
+    description="lexical-diversity profile per document source: "
+    "type-token ratio and hapax-legomenon share (the vocabulary-"
+    "breadth signals corpus curation tracks per provenance — low TTR "
+    "or hapax share flags templated/boilerplate sources). Two stacked "
+    "hash aggregations ((source, token) counts, then per-source "
+    "rollup) — both map-side combinable, all exact BIGINT arithmetic "
+    "until the two final ratios",
+    tags=("text", "stats"),
+)
+def q114_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    cnt = (
+        t["documents"]
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.count("*") / F.sum("c").cast("double"), 6).alias(
+                "ttr"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )

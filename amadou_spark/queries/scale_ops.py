@@ -121,3 +121,54 @@ def q95_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round("total", 2).alias("total"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q110_bloom_pruned_join",
+    oracle="""
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal > 8000
+        GROUP BY n_name ORDER BY n_name
+    """,
+    description="Bloom-filter runtime pruning (scale.py bloom_prune): "
+    "a portable md5-hashed bloom bitmap (128x64-bit words, 3 hashes) "
+    "is built over the selective supplier key set and broadcast; "
+    "lineitem probes it with pure-JVM word/bit arithmetic BEFORE the "
+    "join, so rows that would die in the join are dropped before the "
+    "exchange. Bloom false positives are removed by the exact join "
+    "that follows — results bit-identical to the plain join the "
+    "oracle expresses; only the shuffle volume changes. This is the "
+    "explicit form of Spark's own injected runtime filters, usable "
+    "on any join at 100 TB where the dim side is selective",
+)
+def q110_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import bloom_prune
+
+    t = register_tables(spark, sf_dir)
+    dim = t["supplier"].filter(F.col("s_acctbal") > 8000)
+    pruned = bloom_prune(
+        t["lineitem"], dim.select("s_suppkey"), "l_suppkey", "s_suppkey"
+    )
+    return (
+        pruned.join(
+            F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )

@@ -123,3 +123,81 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Pre-filter ``fact`` with a Bloom filter built over ``dim_keys``
+    BEFORE a shuffle join — the runtime-filter pattern Spark's
+    optimizer injects for itself (`bloom_filter_agg`/`might_contain`
+    are optimizer-internal, not SQL-callable), rebuilt portably from
+    DataFrame primitives so any join can opt in explicitly.
+
+    Construction (all distributed, one tiny collect-free broadcast):
+    each dim key sets ``n_hashes`` md5-derived bit positions; positions
+    roll up into 64-bit words via ``bit_or`` (map-side combined) and
+    the <= n_bits/64-entry (word_idx -> word) map crosses to the fact
+    side as a broadcast single row. The fact filter is pure JVM:
+    ``element_at(map, pos/64) & (1 << pos%64)`` per hash — O(1) per
+    probe, no Python, no shuffle.
+
+    Semantics: strictly a superset filter (Bloom false positives
+    remain), so the downstream exact join is unchanged — results are
+    bit-identical with or without pruning. The win at 100 TB: the
+    fact rows that would die in the join are dropped BEFORE the
+    exchange, cutting shuffle volume by the dim selectivity (the same
+    reason Spark's own runtime row-group filtering exists).
+    """
+    pos_cols = []
+    key_str = F.col(dim_key).cast("string")
+    for i in range(n_hashes):
+        hv = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_str)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        pos_cols.append(F.pmod(hv, F.lit(n_bits)))
+    positions = dim_keys.select(
+        F.explode(F.array(*pos_cols)).alias("pos")
+    )
+    words = (
+        positions.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("bloom")
+        )
+    )
+    fkey_str = F.col(fact_key).cast("string")
+    probed = fact.crossJoin(F.broadcast(words))
+    pcols = []
+    for i in range(n_hashes):
+        hv = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), fkey_str)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        pcol = f"_bloom_pos_{i}"
+        probed = probed.withColumn(pcol, F.pmod(hv, F.lit(n_bits)))
+        pcols.append(pcol)
+    cond = None
+    for pcol in pcols:
+        hit = F.expr(
+            f"coalesce(element_at(bloom, CAST({pcol} / 64 AS INT)), 0L)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pcol} % 64 AS INT)) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    return probed.filter(cond).drop("bloom", *pcols)

@@ -161,3 +161,31 @@ def test_adamic_adar_hub_blocking_bounds_key_width(spark):
     assert all(
         r.adamic_adar == w and r.common_neighbors == 1 for r in scored
     )
+
+
+def test_bloom_prune_drops_nonmatching_rows_and_keeps_all_matches(spark, sf_dir):
+    """bloom_prune must (a) keep EVERY fact row whose key appears in
+    the dim set (no false negatives — a Bloom filter property, and the
+    correctness contract), and (b) actually prune: the oracle gate
+    can't see pruning because the exact join removes false positives
+    either way, so the plan property is pinned here."""
+    from amadou_spark.scale import bloom_prune
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select("s_suppkey")
+    )
+    pruned = bloom_prune(li, dim, "l_suppkey", "s_suppkey")
+    n_fact = li.count()
+    n_pruned = pruned.count()
+    n_match = li.join(dim, F.col("l_suppkey") == F.col("s_suppkey")).count()
+    # no false negatives: every matching row survives the bloom
+    assert (
+        pruned.join(dim, F.col("l_suppkey") == F.col("s_suppkey")).count()
+        == n_match
+    )
+    # real pruning: strictly fewer rows than the raw fact (the dim
+    # filter is selective in every sf fixture), superset of matches
+    assert n_match <= n_pruned < n_fact
