@@ -118,3 +118,75 @@ def hll_rolling_estimate(daily: DataFrame) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
     ).select(F.lit(None).cast("date").alias("day"), "approx_users")
     return per_day.unionByName(total)
+
+
+def misra_gries_candidates(
+    items: DataFrame, col: str, n_counters: int = 200
+) -> DataFrame:
+    """Per-partition Misra-Gries frequent-item summaries (Misra &
+    Gries 1982), merged by union: returns a small candidate table
+    guaranteed to CONTAIN every item with global frequency > n/(k+1)
+    for k = ``n_counters`` (if an item's count exceeded n_p/(k+1) in
+    no partition, summing over partitions bounds its global count by
+    n/(k+1)). The summary runs inside ``mapInPandas`` — one pass, k
+    counters of state per partition, Arrow-batched — and emits at most
+    k rows per partition, so the union is tiny no matter how large the
+    input. Pair with an exact recount of the candidates for EXACT
+    heavy hitters in two passes; the result is then independent of
+    partitioning even though the candidate set is not.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < n_counters:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    schema = items.select(col).schema
+    return items.select(col).mapInPandas(summarize, schema).distinct()
+
+
+def exact_heavy_hitters(
+    items: DataFrame, col: str, threshold_frac: float = 0.01,
+    n_counters: int = 200,
+) -> DataFrame:
+    """EXACT heavy hitters (items with frequency > threshold_frac * n)
+    in two distributed passes: (1) Misra-Gries candidate generation —
+    a superset of the answer whenever threshold_frac >= 1/(k+1) — and
+    (2) an exact recount restricted to the candidate set (a broadcast
+    semi-join, since candidates number <= k * n_partitions), filtered
+    against the exact global total. Never shuffles full per-item
+    counts: the only wide exchange carries candidate rows. This is the
+    100 TB shape for "frequent tokens/URLs/users" — the naive
+    groupBy-all-then-filter shuffles every distinct item; this
+    shuffles a few thousand.
+    """
+    if threshold_frac < 1.0 / (n_counters + 1):
+        raise ValueError(
+            f"threshold_frac {threshold_frac} below the Misra-Gries "
+            f"guarantee 1/(k+1) = {1.0 / (n_counters + 1):.5f}; "
+            "raise n_counters"
+        )
+    cand = misra_gries_candidates(items, col, n_counters)
+    total = items.select(F.count("*").alias("n_total"))
+    counts = (
+        items.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") * threshold_frac)
+        .select(col, "cnt", "n_total")
+    )

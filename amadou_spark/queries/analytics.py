@@ -612,3 +612,172 @@ def q114_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q116_bitmap_intersection",
+    oracle="""
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="audience-overlap matrix via a distributed bitmap "
+    "index: user ids bucket into 64-wide words (bucket = id/64, bit = "
+    "id%64), each (event_type, bucket) rolls up to one BIGINT word by "
+    "bit_or (map-side combined), and every type-pair overlap is then "
+    "SUM(bit_count(w1 & w2)) over a bucket-keyed equi-join of the two "
+    "bitmaps — the roaring-bitmap shape OLAP engines use for segment "
+    "intersection. The bitmap table is |types| x |id-space|/64 words "
+    "(~64x smaller than the distinct pairs), so P pairwise overlaps "
+    "cost P tiny word joins, never P distinct-user self-joins; the "
+    "oracle IS the naive self-join, pinning exactness",
+    tags=("bitmap", "events"),
+)
+def q116_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    words = (
+        t["events"]
+        .select(
+            "event_type",
+            (F.col("user_id") / 64).cast("bigint").alias("bucket"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("w").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("w").alias("wb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("bigint")
+            .alias("n_both")
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q117_seasonal_index",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   isodow(CAST(ts AS DATE)) AS dow,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2, 3
+        ), base AS (
+            SELECT event_type, AVG(x) AS mu FROM daily GROUP BY 1
+        )
+        SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               ROUND(AVG(d.x) / ANY_VALUE(b.mu), 4) AS seasonal_index
+        FROM daily d JOIN base b USING (event_type)
+        GROUP BY d.event_type, d.dow
+        ORDER BY d.event_type, dow
+    """,
+    description="day-of-week seasonal index per event type: mean "
+    "daily volume on each ISO weekday divided by the type's overall "
+    "daily mean (index > 1 = above-trend weekday) — the seasonality "
+    "profile extracted before detrending a forecast. Daily rollup "
+    "first (the only pass over raw events), then two dimension-sized "
+    "aggs and a per-type broadcast join. ISO weekday (Mon=1) is "
+    "Spark weekday()+1 and DuckDB isodow, pinned to agree",
+    tags=("stats", "timeseries", "events"),
+)
+def q117_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.weekday(F.to_date("ts")) + 1).cast("bigint").alias("dow"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    base = daily.groupBy(F.col("event_type").alias("bt")).agg(
+        F.avg("x").alias("mu")
+    )
+    return (
+        daily.join(F.broadcast(base), F.col("event_type") == F.col("bt"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg("x") / F.any_value("mu"), 4).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@query(
+    "q118_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   SUM(o_totalprice) AS monetary
+            FROM orders GROUP BY 1
+        ), scored AS (
+            SELECT o_custkey,
+                   ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+                   ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
+                   ntile(4) OVER (ORDER BY monetary, o_custkey) AS m,
+                   monetary
+            FROM rfm
+        )
+        SELECT r, f, m,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(monetary), 2) AS segment_value
+        FROM scored GROUP BY r, f, m
+        ORDER BY r, f, m
+    """,
+    description="RFM customer segmentation: per-customer recency/"
+    "frequency/monetary rollup from orders, quartile-scored with "
+    "ntile(4) (custkey tie-break pins both engines to identical "
+    "quartile boundaries), then the 4x4x4 segment census with value "
+    "totals — the lifecycle-marketing workhorse. One fact-table agg "
+    "collapses to customer grain before any window; the three ntiles "
+    "share the customer-grain table. At 100 TB the global ntile sort "
+    "is the only non-combining stage and runs on the collapsed grain "
+    "(|customers|, not |orders|)",
+    tags=("stats", "windows"),
+)
+def q118_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    rfm = t["orders"].groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r", "f", "m")
+    )

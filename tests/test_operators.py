@@ -698,3 +698,42 @@ def test_kmeans_matches_pure_python_lloyds(spark):
         }
         want = ref_kmeans(vecs, k=4, rounds=3)
         assert got == want, f"seed {seed}"
+
+
+def test_exact_heavy_hitters_partitioning_invariant(spark, sf_dir):
+    """The Misra-Gries candidate SET depends on partitioning; the
+    exact-heavy-hitters RESULT must not. Re-partitioning the input
+    three wildly different ways must give the identical answer, and
+    that answer must equal the naive groupBy-then-filter."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.catalog import load_table
+    from amadou_spark.operators.sketch import exact_heavy_hitters
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    results = []
+    for arranged in (toks, toks.repartition(1), toks.repartition(17, "t")):
+        rows = sorted(
+            (r["t"], r["cnt"])
+            for r in exact_heavy_hitters(arranged, "t", 0.01).collect()
+        )
+        results.append(rows)
+    assert results[0] == results[1] == results[2]
+    n = toks.count()
+    naive = sorted(
+        (r["t"], r["cnt"])
+        for r in toks.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > n * 0.01)
+        .collect()
+    )
+    assert results[0] == naive
+    # the guarantee precondition is enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_heavy_hitters(toks, "t", threshold_frac=0.001, n_counters=10)
