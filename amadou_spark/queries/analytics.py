@@ -173,12 +173,20 @@ def q106_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = daily.groupBy("event_type").agg(F.avg("x").alias("mu"))
     w = W.partitionBy("event_type").orderBy("day")
-    s = daily.join(F.broadcast(m), "event_type").select(
-        "event_type",
-        "day",
-        F.round(F.abs(F.sum(F.col("x") - F.col("mu")).over(w)), 4).alias(
-            "abs_s"
-        ),
+    from amadou_spark.scale import materialize_shared
+
+    # s feeds BOTH the peak aggregation and the argmax join; without
+    # an eager cut the broadcast consumer defeats ReusedExchange and
+    # the whole rollup+window subtree runs twice (plan audit r5). The
+    # materialized frame is O(days x types) — tiny at any scale.
+    s = materialize_shared(
+        daily.join(F.broadcast(m), "event_type").select(
+            "event_type",
+            "day",
+            F.round(F.abs(F.sum(F.col("x") - F.col("mu")).over(w)), 4).alias(
+                "abs_s"
+            ),
+        )
     )
     peak = (
         s.groupBy(F.col("event_type").alias("pk_type"))
@@ -640,8 +648,13 @@ def q114_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bitmap", "events"),
 )
 def q116_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
-    words = (
+    # the bitmap table is read by both sides of the pair join; the
+    # eager cut stops the raw-events aggregation from running twice
+    # (plan audit r5) — the bitmap itself is |types| x |ids|/64 words
+    words = materialize_shared(
         t["events"]
         .select(
             "event_type",

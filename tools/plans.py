@@ -79,6 +79,21 @@ REVIEW = {
     "q101_kmv_distinct": "per-group sketch = window over (flag, hash); merged sketch = TakeOrderedAndProject k-minima (per-partition heaps, no global sort) then a 1-row broadcast",
     "q102_sssp": "per-round frontier equi-join + map-side-combined min agg; frontier restriction keeps round cost at O(improved edges), never O(E)",
     "q103_feature_pack": "seven features, ONE Window operator, one shuffle+sort on (user_id | ts,event_id); the only other exchange is the gate's final orderBy",
+    "q104_autocorr": "daily rollup collapses events before anything else; lags + 3 corr aggs run on the O(days x types) remnant — one window sort, one final agg",
+    "q105_gini": "one window sort per priority group (rank), one map-side-combined moment agg; no joins",
+    "q106_cusum_changepoint": "rollup->mean->cumsum subtree materialized ONCE (eager cut — peak agg + argmax join both read it); 8 exchanges total, all on day-grain rows",
+    "q107_corr_matrix": "all 6 corr() aggregates fused into ONE scan + one ObjectHashAggregate; stack() unpivots the 1-row result driver-free",
+    "q108_hhi_concentration": "lineitem aggregated FIRST (supplier broadcast); share-of-total joins are all dimension-sized broadcasts",
+    "q109_rolling_anomaly": "mean/std/count ride ONE window frame (20 PRECEDING..1 PRECEDING) — one shuffle on user_id, streaming frame eval, filter before output sort",
+    "q110_bloom_pruned_join": "bloom build = explode -> word bit_or (map-side) -> 1-row map broadcast; fact probe is pure codegen word/bit arithmetic BEFORE the join exchange",
+    "q111_fuzzy_name_pairs": "distinct entity table first; quadratic levenshtein confined within first-token blocks of the DISTINCT names",
+    "q112_assortativity": "edge-linear: degree table broadcast onto the symmetrized edge list, ONE corr agg; no wedge materialization",
+    "q113_zipf_fit": "token count map-side combined; top-500 via TakeOrderedAndProject; regression on 500 rows",
+    "q114_lexical_diversity": "two stacked hash aggs ((source,token) then source), both map-side combinable; exact BIGINT until final ratios",
+    "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle",
+    "q116_bitmap_intersection": "bitmap (type,bucket)->word table materialized once; pair overlap = bucket equi-join + bit_count sum, 64x smaller than distinct pairs",
+    "q117_seasonal_index": "daily rollup is the only pass over raw events; per-type base joins back as a broadcast",
+    "q118_rfm_segments": "orders collapse to customer grain before any window; three ntile sorts run on the collapsed grain",
 }
 
 
