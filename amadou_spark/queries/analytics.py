@@ -794,3 +794,625 @@ def q118_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+@query(
+    "q119_rolling_distinct",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), days AS (
+            SELECT DISTINCT day FROM du
+        )
+        SELECT d.day,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+        ORDER BY d.day
+    """,
+    description="rolling 7-day distinct users per day — the windowed "
+    "COUNT(DISTINCT) SQL windows cannot express. Spark side uses the "
+    "scalable form: collapse to DISTINCT (user, day) first, then "
+    "explode each observation into the <=7 target days it contributes "
+    "to (sequence()), and count distinct per target day — ONE bounded "
+    "7x fan-out and one agg, no range join. The oracle is the "
+    "equivalent day-range join, pinning the two formulations to the "
+    "same answer. At 100 TB the fan-out rides the collapsed "
+    "(user, day) grain, never raw events",
+    tags=("timeseries", "events"),
+)
+def q119_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    # materialize the collapsed (user, day) grain ONCE: both the 7x
+    # fan-out and the observed-day list derive from it, so raw events
+    # are scanned a single time (plan audit showed the days subtree
+    # re-running the full scan+distinct otherwise)
+    du = materialize_shared(
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(days),
+            contrib["target_day"] == days["day"],
+            "left_semi",
+        )
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q120_association_rules",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM baskets
+        ), item AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS s
+            FROM baskets GROUP BY 1
+        ), pair AS (
+            SELECT a.l_partkey AS x, b.l_partkey AS y,
+                   CAST(count(*) AS BIGINT) AS sxy
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+        SELECT p.x, p.y, p.sxy,
+               ROUND(p.sxy / CAST(ix.s AS DOUBLE), 4) AS confidence,
+               ROUND(p.sxy * (SELECT n_orders FROM n)
+                     / (CAST(ix.s AS DOUBLE) * iy.s), 4) AS lift
+        FROM pair p
+        JOIN item ix ON p.x = ix.l_partkey
+        JOIN item iy ON p.y = iy.l_partkey
+        ORDER BY lift DESC, p.x, p.y LIMIT 25
+    """,
+    description="market-basket association rules over order baskets: "
+    "pair support from the within-order self-join (bounded — baskets "
+    "hold a handful of items, so pair fan-out is O(orders x "
+    "items_per_order^2), never |parts|^2), min-support pruning AT the "
+    "pair aggregation (the a-priori trick: HAVING cuts the long tail "
+    "before any further join), then confidence and lift from the "
+    "item-support table joined back. Top-25 by lift via TakeOrdered "
+    "with full tie-breaks",
+    tags=("stats", "tpch"),
+)
+def q120_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    baskets = materialize_shared(
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = baskets.select(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sxy"))
+        .filter(F.col("sxy") >= 2)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("s").alias("sx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("s").alias("sy"))
+    return (
+        pair.join(ix, "x")
+        .join(iy, "y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "x",
+            "y",
+            "sxy",
+            F.round(F.col("sxy") / F.col("sx").cast("double"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("sxy")
+                * F.col("n_orders")
+                / (F.col("sx").cast("double") * F.col("sy")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(25)
+    )
+
+
+@query(
+    "q121_snaive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), f AS (
+            SELECT event_type, day, x,
+                   lag(x, 7) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS forecast
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               ROUND(AVG(ABS(x - forecast) / CAST(x AS DOUBLE)), 4)
+                   AS mape,
+               ROUND(AVG(ABS(CAST(x - forecast AS DOUBLE))), 4) AS mae
+        FROM f WHERE forecast IS NOT NULL AND x > 0
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="seasonal-naive forecast backtest: forecast(day) = "
+    "actual(day - 7), scored with MAPE and MAE per event type — the "
+    "baseline every forecasting pipeline must beat, and the shape "
+    "a backtest harness runs at scale (the forecast is a lag, so "
+    "evaluation is ONE window + one agg, zero joins). Daily rollup "
+    "first as always; the window rides the day-grain remnant",
+    tags=("timeseries", "events"),
+)
+def q121_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    f = daily.select(
+        "event_type", "x", F.lag("x", 7).over(w).alias("forecast")
+    )
+    return (
+        f.filter(F.col("forecast").isNotNull() & (F.col("x") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.round(
+                F.avg(
+                    F.abs(F.col("x") - F.col("forecast"))
+                    / F.col("x").cast("double")
+                ),
+                4,
+            ).alias("mape"),
+            F.round(
+                F.avg(F.abs((F.col("x") - F.col("forecast")).cast("double"))),
+                4,
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q122_exact_quantiles",
+    oracle="""
+        WITH r AS (
+            SELECT c_mktsegment, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey) AS rn,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               ROUND(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                              THEN c_acctbal END), 2) AS p50,
+               ROUND(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                              THEN c_acctbal END), 2) AS p90,
+               ROUND(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                              THEN c_acctbal END), 2) AS p99
+        FROM r
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="EXACT distributed quantiles (p50/p90/p99, lower-rank "
+    "definition) per segment via rank selection: one window ranks "
+    "values within each group, then a conditional agg picks the "
+    "elements at ranks ceil(q*n) — exact, deterministic (custkey "
+    "tie-break), engine-agnostic, unlike percentile_approx (B05) "
+    "whose sketch is engine-specific. One shuffle + per-group sort, "
+    "one agg. At 100 TB groups sort independently and spill-safely; "
+    "for a GLOBAL exact quantile the same shape runs on range-"
+    "partitioned data with partition boundary counts",
+    tags=("stats",),
+)
+def q122_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    cw = W.partitionBy("c_mktsegment")
+    r = t["customer"].select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+
+    def pick(q: float):
+        return F.round(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                    F.col("c_acctbal"),
+                )
+            ),
+            2,
+        )
+
+    return (
+        r.groupBy("c_mktsegment")
+        .agg(
+            pick(0.5).alias("p50"),
+            pick(0.9).alias("p90"),
+            pick(0.99).alias("p99"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q123_chi_square",
+    oracle="""
+        WITH o AS (
+            SELECT c_mktsegment AS s, c_nationkey AS k,
+                   CAST(count(*) AS DOUBLE) AS obs
+            FROM customer GROUP BY 1, 2
+        ), m AS (
+            SELECT s, k, obs,
+                   sum(obs) OVER (PARTITION BY s) AS rs,
+                   sum(obs) OVER (PARTITION BY k) AS cs,
+                   sum(obs) OVER () AS n
+            FROM o
+        )
+        SELECT ROUND(SUM((obs - rs * cs / n) * (obs - rs * cs / n)
+                         / (rs * cs / n)), 4) AS chi2,
+               CAST((count(DISTINCT s) - 1) * (count(DISTINCT k) - 1)
+                    AS BIGINT) AS dof,
+               CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(SQRT(SUM((obs - rs * cs / n) * (obs - rs * cs / n)
+                              / (rs * cs / n))
+                          / (MAX(n) * LEAST(count(DISTINCT s) - 1,
+                                            count(DISTINCT k) - 1))), 4)
+                   AS cramers_v
+        FROM m
+    """,
+    description="chi-square test of independence (segment x nation) "
+    "with Cramer's V effect size — the categorical-association test a "
+    "feature-selection pass runs per feature pair. One hash agg builds "
+    "the contingency table; the marginals are per-category tables "
+    "(bounded by the category domain, not the data) so broadcasting "
+    "them back is safe at any scale; expected counts and the chi2 sum "
+    "ride the contingency grain (|S| x |K| rows). At 100 TB the only "
+    "pass over raw data is the first agg",
+    tags=("stats",),
+)
+def q123_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    # the contingency table feeds FOUR consumers (cells, both marginals,
+    # grand total) — materialize it once so raw data is scanned once
+    obs = materialize_shared(
+        t["customer"]
+        .groupBy(
+            F.col("c_mktsegment").alias("s"), F.col("c_nationkey").alias("k")
+        )
+        .agg(F.count("*").cast("double").alias("obs"))
+    )
+    rs = obs.groupBy("s").agg(F.sum("obs").alias("rs"))
+    cs = obs.groupBy("k").agg(F.sum("obs").alias("cs"))
+    n = obs.agg(F.sum("obs").alias("n"))
+    cell = (
+        obs.join(F.broadcast(rs), "s")
+        .join(F.broadcast(cs), "k")
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rs") * F.col("cs") / F.col("n")
+    term = (F.col("obs") - e) * (F.col("obs") - e) / e
+    chi2 = F.sum(term)
+    dof_r = F.count_distinct("s") - 1
+    dof_c = F.count_distinct("k") - 1
+    return cell.agg(
+        F.round(chi2, 4).alias("chi2"),
+        (dof_r * dof_c).cast("bigint").alias("dof"),
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * F.least(dof_r, dof_c))), 4
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q124_ks_test",
+    oracle="""
+        WITH v AS (
+            SELECT c_acctbal AS val,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                       AS in_a
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ), cnt AS (
+            SELECT val,
+                   CAST(sum(in_a) AS BIGINT) AS ca,
+                   CAST(sum(1 - in_a) AS BIGINT) AS cb
+            FROM v GROUP BY val
+        ), cum AS (
+            SELECT sum(ca) OVER (ORDER BY val) AS cum_a,
+                   sum(cb) OVER (ORDER BY val) AS cum_b,
+                   (SELECT sum(ca) FROM cnt) AS na,
+                   (SELECT sum(cb) FROM cnt) AS nb
+            FROM cnt
+        )
+        SELECT ROUND(MAX(ABS(cum_a / CAST(na AS DOUBLE)
+                             - cum_b / CAST(nb AS DOUBLE))), 6) AS ks_d,
+               CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b
+        FROM cum
+    """,
+    description="two-sample Kolmogorov-Smirnov statistic (BUILDING vs "
+    "MACHINERY account balances): D = max |ECDF_a - ECDF_b|, the "
+    "distribution-drift test a data-quality monitor runs between "
+    "snapshots. Scale shape: raw rows collapse to per-DISTINCT-VALUE "
+    "counts first (one hash agg), so the prefix-sum window rides the "
+    "value domain, not the row count — for fixed-precision measures "
+    "the domain is bounded (~1.1M two-decimal values here) no matter "
+    "how many rows; at 100 TB the ordered pass is a range-partitioned "
+    "sort of that collapsed table",
+    tags=("stats",),
+)
+def q124_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    v = (
+        t["customer"]
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_acctbal").alias("val"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("in_a"),
+        )
+    )
+    cnt = v.groupBy("val").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    # The ordered prefix sum runs on the collapsed distinct-value grain
+    # (bounded by the value domain), never on raw rows — that is what
+    # makes an exact distributed KS feasible.
+    w = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cnt.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a") / F.col("na").cast("double")
+                    - F.col("cum_b") / F.col("nb").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )
+
+
+@query(
+    "q125_benford",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders
+        ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)
+        SELECT digit,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(count(*) / (SELECT n FROM tot), 6) AS obs_freq,
+               ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq,
+               ROUND(count(*) / (SELECT n FROM tot)
+                     - LOG10(1.0 + 1.0 / digit), 6) AS deviation
+        FROM d GROUP BY digit ORDER BY digit
+    """,
+    description="Benford's-law first-digit audit of order totals — the "
+    "classic fraud / synthetic-data smell test. The leading digit is "
+    "extracted from the BIGINT integer part via string head (exact and "
+    "engine-portable; floor(log10(x)) would be 1-ulp fragile at powers "
+    "of ten), so the whole query is one narrow projection plus one "
+    "9-bucket hash agg — embarrassingly parallel at any scale",
+    tags=("stats", "quality"),
+)
+def q125_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    d = t["orders"].select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").cast("double").alias("tn"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("tn"), 6).alias("obs_freq"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+                "benford_freq"
+            ),
+            F.round(
+                F.col("n") / F.col("tn")
+                - F.log10(1.0 + 1.0 / F.col("digit")),
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+# Exponential weights for q126, built by repeated multiplication and
+# embedded into BOTH engines as the same Python double literals
+# (repr() round-trips exactly; the SQL parser reads the literal to the
+# nearest double = the identical bits) so the two sides are in numeric
+# lockstep with no cross-engine pow() dependence.
+_EWMA_ALPHA = 0.3
+_EWMA_W: list[float] = [1.0]
+for _i in range(7):
+    _EWMA_W.append(_EWMA_W[-1] * (1.0 - _EWMA_ALPHA))
+
+_EWMA_NUMER_SQL = " + ".join(
+    f"COALESCE(lag(v, {i}) OVER w, 0.0) * {w!r}"
+    for i, w in enumerate(_EWMA_W)
+)
+_EWMA_DENOM_SQL = " + ".join(
+    f"CASE WHEN lag(v, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END"
+    for i, w in enumerate(_EWMA_W)
+)
+
+
+@query(
+    "q126_ewma",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, ROUND(v, 4) AS v,
+               ROUND(({_EWMA_NUMER_SQL})
+                     / ({_EWMA_DENOM_SQL}), 4) AS ewma
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ORDER BY event_type, day
+    """,
+    description="exponentially-weighted moving average (alpha=0.3) of "
+    "the daily value series per event type — the standard smoother a "
+    "monitoring/forecast pipeline applies before thresholding. Uses "
+    "the BOUNDED form (8 exponential weights over a row window, "
+    "renormalized at series starts): weights below (1-a)^8 ~ 6% are "
+    "dropped, which makes EWMA expressible as ONE window over the "
+    "daily rollup — no recursion, no iterative state. Raw events "
+    "collapse to the (type, day) grain first, so the window sort "
+    "rides thousands of rows regardless of raw volume",
+    tags=("timeseries", "events"),
+)
+def q126_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    numer = None
+    denom = None
+    for i, wt in enumerate(_EWMA_W):
+        lagged = F.lag("v", i).over(w)
+        nterm = F.coalesce(lagged, F.lit(0.0)) * F.lit(wt)
+        dterm = (
+            F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        )
+        numer = nterm if numer is None else numer + nterm
+        denom = dterm if denom is None else denom + dterm
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("v", 4).alias("v"),
+        F.round(numer / denom, 4).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "q127_attribution",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN event_type <> 'purchase'
+                        THEN event_type END AS ch
+            FROM events
+        ), f AS (
+            SELECT *,
+                   count(ch) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS grp
+            FROM e
+        ), g AS (
+            SELECT *, max(ch) OVER (PARTITION BY user_id, grp) AS channel
+            FROM f
+        )
+        SELECT COALESCE(channel, '(direct)') AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               ROUND(SUM(value), 2) AS revenue
+        FROM g WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+    """,
+    description="last-touch revenue attribution: each purchase is "
+    "credited to the user's most recent preceding non-purchase event "
+    "type ('(direct)' when none), then revenue rolls up per channel — "
+    "the canonical marketing-analytics query. Spark side is ONE "
+    "user-partitioned window (last non-null carry-forward via "
+    "last(ignorenulls), so a single shuffle on user_id) plus the "
+    "final channel rollup; the oracle pins the same semantics with "
+    "the engine-portable gaps-and-islands form (running count of "
+    "non-nulls = island id, max within island). Ordering ties broken "
+    "by event_id, so both sides are deterministic",
+    tags=("events", "timeseries"),
+)
+def q127_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    e = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "ch"
+        ),
+    )
+    attributed = e.withColumn(
+        "channel", F.last("ch", ignorenulls=True).over(w)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )

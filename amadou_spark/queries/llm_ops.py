@@ -1716,3 +1716,96 @@ def llm_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "llm_quality_bigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), uni AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+        ), v AS (
+            SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+        ), seq AS (
+            SELECT doc_id, unnest(ts) AS tok,
+                   generate_subscripts(ts, 1) AS pos
+            FROM toks
+        ), bif AS (
+            SELECT doc_id, a, b FROM (
+                SELECT doc_id, tok AS a,
+                       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS b
+                FROM seq
+            ) WHERE b IS NOT NULL
+        ), bc AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+            FROM bif GROUP BY a, b
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-LN((bc.cab + 1)
+                             / CAST(ua.c + v.v AS DOUBLE))), 4)
+                   AS avg_neg_logprob
+        FROM bif
+        JOIN bc USING (a, b)
+        JOIN uni ua ON ua.tok = bif.a
+        CROSS JOIN v
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    description="bigram language-model quality score with add-one "
+    "smoothing: corpus bigram/unigram counts -> per-doc mean negative "
+    "log P(w_i | w_{i-1}) — the CCNet/KenLM-style fluency filter one "
+    "notch above the unigram scorer (catches shuffled-word salads the "
+    "unigram score cannot). Counts are exact BIGINTs from two "
+    "map-side-combined aggs off one explode; scoring joins are "
+    "UNHINTED shuffle joins on the token/bigram keys (open-web "
+    "bigram tables are billions of rows — forcing a broadcast would "
+    "OOM; AQE downgrades to broadcast only when the table actually "
+    "fits); the 1-row vocab size is the only forced broadcast",
+    tags=("llm", "text", "quality"),
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    docs = t["documents"]
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    bif = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n_pairs),
+                F.slice(toks, 2, n_pairs),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    bc = bif.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    return (
+        bif.join(bc, ["a", "b"])
+        .join(ua, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("cab") + 1)
+                        / (F.col("ca") + F.col("v")).cast("double")
+                    )
+                ),
+                4,
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

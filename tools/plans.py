@@ -94,6 +94,16 @@ REVIEW = {
     "q116_bitmap_intersection": "bitmap (type,bucket)->word table materialized once; pair overlap = bucket equi-join + bit_count sum, 64x smaller than distinct pairs",
     "q117_seasonal_index": "daily rollup is the only pass over raw events; per-type base joins back as a broadcast",
     "q118_rfm_segments": "orders collapse to customer grain before any window; three ntile sorts run on the collapsed grain",
+    "q119_rolling_distinct": "rolling 7d COUNT DISTINCT without a range join: (user,day) grain materialized once, bounded 7x sequence() fan-out, day list broadcast semi-join, one distinct agg",
+    "q120_association_rules": "basket table materialized once feeds pair/item/total; min-support HAVING prunes at the pair agg (a-priori) before any join; supports broadcast back; top-25 by lift",
+    "q121_snaive_backtest": "forecast = lag(7) so backtest is daily rollup + ONE window + one agg — zero joins",
+    "q122_exact_quantiles": "rank-selection exact quantiles: row_number and count windows share one exchange+sort; conditional agg picks ranks — no per-quantile passes",
+    "q123_chi_square": "one hash agg builds the contingency table; marginals are category-bounded broadcasts; chi2 sum rides the |S|x|K| cell grain",
+    "q124_ks_test": "rows collapse to per-distinct-value counts before the prefix-sum window — the ordered pass rides the value domain, not row count",
+    "q125_benford": "digit from BIGINT string head (no float log10 at power-of-ten edges); one projection + 9-bucket agg, embarrassingly parallel",
+    "q126_ewma": "bounded 8-weight exponential window over the daily rollup — no recursion; weights embedded as identical double literals both engines",
+    "q127_attribution": "single user_id-partitioned window (last ignorenulls carry-forward) = one shuffle; oracle pins semantics via gaps-and-islands",
+    "llm_quality_bigram_logprob": "two map-side-combined count aggs off one explode; scoring joins UNHINTED (bigram table can be billions of rows, AQE broadcasts only if it fits)",
 }
 
 

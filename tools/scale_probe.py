@@ -81,6 +81,14 @@ EXPECTED = {
     "llm_token_pmi": ("pair explode + exact counts, linear at fixed vocab", 1.3),
     "llm_token_entropy": ("(doc,tok) partial agg + per-doc fold, linear", 1.3),
     "q102_sssp": ("O(rounds * frontier edges), rounds fixed", 1.3),
+    "q110_bloom_pruned_join": ("bloom build linear in dim, probe linear in fact", 1.3),
+    "q113_zipf_fit": ("token count linear; top-500 + regression constant", 1.3),
+    "q114_lexical_diversity": ("two stacked hash aggs, linear", 1.3),
+    "q115_heavy_hitters": ("MG pass + candidate recount, two linear passes", 1.3),
+    "q120_association_rules": ("pair fan-out O(orders * basket^2), linear at fixed basket size", 1.3),
+    "q124_ks_test": ("collapse to distinct-value counts, window rides value domain", 1.3),
+    "q127_attribution": ("one user-partitioned window + rollup, linear", 1.3),
+    "llm_quality_bigram_logprob": ("explode + exact count aggs + shuffle-join scoring, linear at fixed vocab", 1.3),
 }
 
 
