@@ -1280,33 +1280,54 @@ def q125_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exponential weights for q126, built by repeated multiplication and
 # embedded into BOTH engines as the same Python double literals
 # (repr() round-trips exactly; the SQL parser reads the literal to the
-# nearest double = the identical bits) so the two sides are in numeric
-# lockstep with no cross-engine pow() dependence.
+# nearest double = the identical bits — CAST AS DOUBLE because bare
+# decimal literals parse as DECIMAL in DuckDB, which would silently
+# switch the whole expression to decimal arithmetic) so the two sides
+# are in numeric lockstep with no cross-engine pow() dependence.
 _EWMA_ALPHA = 0.3
 _EWMA_W: list[float] = [1.0]
 for _i in range(7):
     _EWMA_W.append(_EWMA_W[-1] * (1.0 - _EWMA_ALPHA))
 
 _EWMA_NUMER_SQL = " + ".join(
-    f"COALESCE(lag(v, {i}) OVER w, 0.0) * {w!r}"
+    f"COALESCE(lag(v, {i}) OVER w, 0.0) * CAST({w!r} AS DOUBLE)"
     for i, w in enumerate(_EWMA_W)
 )
 _EWMA_DENOM_SQL = " + ".join(
-    f"CASE WHEN lag(v, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END"
+    f"CASE WHEN lag(v, {i}) OVER w IS NOT NULL"
+    f" THEN CAST({w!r} AS DOUBLE) ELSE 0.0 END"
     for i, w in enumerate(_EWMA_W)
 )
+
+# Engine-stable half-up rounding: Spark's ROUND rounds the SHORTEST
+# DECIMAL REPR of a double (38.378750 -> 38.3788) while DuckDB rounds
+# the exact binary value (38.3787499999... -> 38.3787), so any value
+# whose decimal form is a tie diverges SYSTEMATICALLY. floor(x*1e4+0.5)
+# is pure double arithmetic — identical inputs give identical bits on
+# both engines, no decimal-repr dependence.
+_R4_SQL = "FLOOR({expr} * 10000.0 + 0.5) / 10000.0"
+
+
+def _r4(col):  # Spark twin of _R4_SQL
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
 
 
 @query(
     "q126_ewma",
     oracle=f"""
         WITH daily AS (
-            SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS v
+            -- the smoother runs on the PRE-ROUNDED daily series so both
+            -- engines feed the EWMA identical doubles (a raw AVG is
+            -- 1-ulp partial-agg-order sensitive; sf0.001 actually lands
+            -- an avg on the exact decimal tie 38.378750)
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   {_R4_SQL.format(expr="AVG(value)")} AS v
             FROM events GROUP BY 1, 2
         )
-        SELECT event_type, day, ROUND(v, 4) AS v,
-               ROUND(({_EWMA_NUMER_SQL})
-                     / ({_EWMA_DENOM_SQL}), 4) AS ewma
+        SELECT event_type, day, v,
+               {_R4_SQL.format(
+                   expr=f"({_EWMA_NUMER_SQL}) / ({_EWMA_DENOM_SQL})"
+               )} AS ewma
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day)
         ORDER BY event_type, day
@@ -1327,7 +1348,7 @@ def q126_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         t["events"]
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.avg("value").alias("v"))
+        .agg(_r4(F.avg("value")).alias("v"))
     )
     w = W.partitionBy("event_type").orderBy("day")
     numer = None
@@ -1343,8 +1364,8 @@ def q126_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type",
         "day",
-        F.round("v", 4).alias("v"),
-        F.round(numer / denom, 4).alias("ewma"),
+        "v",
+        _r4(numer / denom).alias("ewma"),
     ).orderBy("event_type", "day")
 
 
@@ -1415,4 +1436,307 @@ def q127_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("revenue"),
         )
         .orderBy("channel")
+    )
+
+
+@query(
+    "q128_twap",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, value,
+                   epoch_us(ts) AS t_us,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS next_us
+            FROM events
+        )
+        SELECT event_type, day,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               ROUND(SUM(value * (next_us - t_us))
+                     / SUM(CAST(next_us - t_us AS DOUBLE)), 4) AS twap
+        FROM e WHERE next_us IS NOT NULL
+        GROUP BY event_type, day
+        HAVING SUM(next_us - t_us) > 0
+        ORDER BY event_type, day
+    """,
+    description="time-weighted average value (TWAP) per event type and "
+    "day: each observation is weighted by the microsecond interval it "
+    "was 'in effect' (until the next event in the same stream) — the "
+    "correct average for irregularly-sampled series, where the naive "
+    "mean over-weights bursts. Interval arithmetic stays in exact "
+    "BIGINT microseconds (unix_micros / epoch_us on both engines); one "
+    "window for lead + one hash agg, both riding the (type, day) "
+    "partitioning — no global sort at any scale",
+    tags=("timeseries", "events"),
+)
+def q128_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    e = t["events"].select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    dt = F.col("next_us") - F.col("t_us")
+    return (
+        e.filter(F.col("next_us").isNotNull())
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * dt) / F.sum(dt.cast("double")), 4
+            ).alias("twap"),
+            F.sum(dt).alias("_dt"),
+        )
+        .filter(F.col("_dt") > 0)
+        .drop("_dt")
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q129_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        ), dd AS (
+            SELECT event_type, v,
+                   MAX(v) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS peak
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               ROUND(MAX((peak - v) / peak), 6) AS max_drawdown,
+               ROUND(MAX(peak), 4) AS peak_value
+        FROM dd
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="maximum drawdown of the daily value series per event "
+    "type: running peak via a cumulative MAX window, drawdown = "
+    "(peak - v)/peak, then the per-type max — the risk metric every "
+    "financial/monitoring pipeline computes. Raw events collapse to "
+    "the (type, day) grain first; the cumulative window and final agg "
+    "ride that grain partitioned by type — one shuffle for the rollup, "
+    "one for the window, no global sort",
+    tags=("timeseries", "events", "stats"),
+)
+def q129_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = daily.select(
+        "event_type", "v", F.max("v").over(w).alias("peak")
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(
+                F.max((F.col("peak") - F.col("v")) / F.col("peak")), 6
+            ).alias("max_drawdown"),
+            F.round(F.max("peak"), 4).alias("peak_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q130_target_encoding",
+    oracle="""
+        WITH j AS (
+            SELECT o.o_orderkey, c.c_mktsegment AS seg, o.o_totalprice AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), s AS (
+            SELECT seg, SUM(y) AS sy, CAST(count(*) AS BIGINT) AS n
+            FROM j GROUP BY seg
+        )
+        SELECT j.o_orderkey, j.seg,
+               ROUND((s.sy - j.y) / (s.n - 1), 4) AS loo_encoding,
+               s.n AS seg_n
+        FROM j JOIN s USING (seg)
+        ORDER BY j.o_orderkey LIMIT 100
+    """,
+    description="leave-one-out target encoding of customer segment "
+    "against order value — the standard high-cardinality categorical "
+    "feature for gradient-boosted models, in its leakage-safe LOO form "
+    "(each row's own target is subtracted: (sum - y_i)/(n - 1)). The "
+    "fact-dim join is UNHINTED (customer is a fact-sized table at "
+    "100 TB); the per-category sums are one hash agg whose output is "
+    "category-bounded and broadcasts back; top-100 by key via "
+    "TakeOrdered. No window needed — the LOO trick turns a per-row "
+    "exclusion into pure arithmetic on group totals",
+    tags=("stats", "tpch"),
+)
+def q130_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    s = j.groupBy("seg").agg(
+        F.sum("y").alias("sy"), F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        j.join(F.broadcast(s), "seg")
+        .select(
+            "o_orderkey",
+            "seg",
+            F.round(
+                (F.col("sy") - F.col("y")) / (F.col("n") - 1), 4
+            ).alias("loo_encoding"),
+            F.col("n").alias("seg_n"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q131_kaplan_meier",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CAST(ts AS DATE)) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS tp,
+                   MAX(CAST(ts AS DATE)) AS tlast
+            FROM events GROUP BY user_id
+        ), durations AS (
+            SELECT user_id,
+                   CASE WHEN tp IS NOT NULL
+                        THEN date_diff('day', t0, tp)
+                        ELSE date_diff('day', t0, tlast) END AS t,
+                   CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+            FROM per_user
+        ), grid AS (
+            SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM durations GROUP BY t
+        ), at_risk AS (
+            SELECT t, d,
+                   (SELECT CAST(count(*) AS BIGINT) FROM durations)
+                       - COALESCE(SUM(c) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_risk
+            FROM grid
+        ), km AS (
+            SELECT t, d, n_risk,
+                   -- when d = n_risk the factor is 0 and S hits exactly
+                   -- 0 (log trick breaks): carry a cumulative zero flag
+                   CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) = 1
+                        THEN 0.0
+                        ELSE EXP(SUM(CASE WHEN d < n_risk THEN
+                                 LN(1.0 - d / CAST(n_risk AS DOUBLE)) END)
+                             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW))
+                   END AS s
+            FROM at_risk
+        )
+        SELECT t AS day, n_risk, d AS n_events, ROUND(s, 6) AS survival
+        FROM km WHERE d > 0 ORDER BY t
+    """,
+    description="Kaplan-Meier survival curve for time-to-first-purchase "
+    "(users with no purchase are right-censored at their last activity) "
+    "— the estimator every retention/conversion analysis runs. Scale "
+    "shape: raw events collapse to one row per user (hash agg), then "
+    "to one row per distinct duration, so the at-risk prefix sums and "
+    "the survival product (computed as exp of a running sum of logs — "
+    "windows cannot multiply) ride the DURATION DOMAIN, which is "
+    "bounded by the observation window in days no matter how many "
+    "users. The single-partition window is over that tiny grid only",
+    tags=("stats", "timeseries", "events"),
+)
+def q131_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    day = F.to_date("ts")
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.max(day).alias("tlast"),
+    )
+    durations = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(), F.datediff("tp", "t0")
+        )
+        .otherwise(F.datediff("tlast", "t0"))
+        .alias("t"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    grid = durations.groupBy("t").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    km = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "s",
+            # when d = n_risk the survival factor is exactly 0 and the
+            # log trick breaks — carry a cumulative zero flag instead
+            F.when(
+                F.max(
+                    F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+                ).over(w_cum)
+                == 1,
+                F.lit(0.0),
+            ).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d") < F.col("n_risk"),
+                            F.log(
+                                1.0
+                                - F.col("d")
+                                / F.col("n_risk").cast("double")
+                            ),
+                        )
+                    ).over(w_cum)
+                )
+            ),
+        )
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("day")
     )

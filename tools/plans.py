@@ -104,6 +104,10 @@ REVIEW = {
     "q126_ewma": "bounded 8-weight exponential window over the daily rollup — no recursion; weights embedded as identical double literals both engines",
     "q127_attribution": "single user_id-partitioned window (last ignorenulls carry-forward) = one shuffle; oracle pins semantics via gaps-and-islands",
     "llm_quality_bigram_logprob": "two map-side-combined count aggs off one explode; scoring joins UNHINTED (bigram table can be billions of rows, AQE broadcasts only if it fits)",
+    "q128_twap": "lead window and rollup both ride the (type,day) partitioning; interval math in exact BIGINT micros",
+    "q129_max_drawdown": "events collapse to (type,day) before the cumulative-max window; one shuffle each for rollup and window",
+    "q130_target_encoding": "LOO as arithmetic on group totals (no window); fact-dim join unhinted, category-bounded sums broadcast back; TakeOrdered top-100",
+    "q131_kaplan_meier": "events -> per-user row -> per-distinct-duration grid; survival product and at-risk prefix sums ride the bounded duration domain",
 }
 
 

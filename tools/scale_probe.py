@@ -89,6 +89,8 @@ EXPECTED = {
     "q124_ks_test": ("collapse to distinct-value counts, window rides value domain", 1.3),
     "q127_attribution": ("one user-partitioned window + rollup, linear", 1.3),
     "llm_quality_bigram_logprob": ("explode + exact count aggs + shuffle-join scoring, linear at fixed vocab", 1.3),
+    "q128_twap": ("one lead window + one agg on (type,day) partitions, linear", 1.3),
+    "q131_kaplan_meier": ("per-user agg then duration-domain grid, linear", 1.3),
 }
 
 
