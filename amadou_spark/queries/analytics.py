@@ -1740,3 +1740,193 @@ def q131_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q132_wilson_ci",
+    oracle="""
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+                   CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                            THEN user_id END) AS BIGINT)
+                       AS x
+            FROM events GROUP BY 1
+        ), w AS (
+            SELECT day, n, x,
+                   x / CAST(n AS DOUBLE) AS p,
+                   CAST(1.96 AS DOUBLE) AS z
+            FROM per_day
+        )
+        SELECT day, n AS n_users, x AS n_converted,
+               ROUND(p, 6) AS rate,
+               ROUND((p + z * z / (2 * n)
+                      - z * SQRT(p * (1 - p) / n
+                                 + z * z / (4.0 * n * n)))
+                     / (1 + z * z / n), 6) AS ci_low,
+               ROUND((p + z * z / (2 * n)
+                      + z * SQRT(p * (1 - p) / n
+                                 + z * z / (4.0 * n * n)))
+                     / (1 + z * z / n), 6) AS ci_high
+        FROM w ORDER BY day
+    """,
+    description="daily purchase-conversion rate with a Wilson 95% "
+    "score interval — the CI that behaves at small n and extreme "
+    "rates, the one an experimentation/monitoring dashboard should "
+    "use instead of the normal approximation. One hash agg per day "
+    "(distinct users / distinct converters), then pure closed-form "
+    "arithmetic — no resampling, no UDF; z is CAST AS DOUBLE in the "
+    "oracle because bare decimal literals are DECIMAL-typed in "
+    "DuckDB and would silently switch the arithmetic",
+    tags=("stats", "events"),
+)
+def q132_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    per_day = t["events"].groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("x"),
+    )
+    p = F.col("x") / F.col("n").cast("double")
+    z = F.lit(1.96)
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    return per_day.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("x").cast("bigint").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    ).orderBy("day")
+
+
+@query(
+    "q133_pareto_8020",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_brand, l.l_partkey,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT p_brand, r,
+                   SUM(r) OVER (PARTITION BY p_brand
+                                ORDER BY r DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS c,
+                   SUM(r) OVER (PARTITION BY p_brand) AS total
+            FROM rev
+        )
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CASE WHEN c - r < 0.8 * total THEN 1 ELSE 0 END)
+                    AS BIGINT) AS parts_to_80,
+               ROUND(SUM(CASE WHEN c - r < 0.8 * total THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS frac_parts
+        FROM cum GROUP BY p_brand ORDER BY p_brand
+    """,
+    description="Pareto 80/20 concentration per brand: how many parts "
+    "cover 80% of brand revenue. Per-part revenue is ROUNDED to cents "
+    "before ranking so the cumulative ordering and the 0.8-threshold "
+    "comparison are bit-identical across engines (both sides then sum "
+    "the same doubles in the same window order); ties broken by "
+    "partkey. The cumulative window is PARTITIONED BY BRAND — the "
+    "per-partition sort is the bounded one a 1000-executor cluster "
+    "runs independently per brand, not a global sort",
+    tags=("stats", "tpch"),
+)
+def q133_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(
+            t["part"],
+            t["lineitem"]["l_partkey"] == t["part"]["p_partkey"],
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("r")
+        )
+    )
+    w_cum = (
+        W.partitionBy("p_brand")
+        .orderBy(F.col("r").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("p_brand")
+    cum = rev.select(
+        "p_brand",
+        "r",
+        F.sum("r").over(w_cum).alias("c"),
+        F.sum("r").over(w_all).alias("total"),
+    )
+    in80 = F.when(
+        F.col("c") - F.col("r") < 0.8 * F.col("total"), 1
+    ).otherwise(0)
+    return (
+        cum.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum(in80).cast("bigint").alias("parts_to_80"),
+            F.round(
+                F.sum(in80) / F.count("*").cast("double"), 4
+            ).alias("frac_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q134_path_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS a,
+                   lead(event_type, 1) OVER w AS b,
+                   lead(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a || '>' || b || '>' || c AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE c IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+    description="top 3-step behavioral paths: per-user event streams "
+    "windowed into trigrams of event types, counted corpus-wide — the "
+    "path-analysis query behind Sankey funnels, one step up from the "
+    "q68 transition matrix. One user-partitioned window (single "
+    "shuffle on user_id), exact BIGINT counts with map-side combine, "
+    "top-20 via TakeOrdered with full tie-breaks — never a global "
+    "sort of all paths",
+    tags=("events", "timeseries"),
+)
+def q134_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.filter(F.col("c").isNotNull())
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

@@ -1809,3 +1809,92 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_quality_ppl_buckets",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), uni AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+        ), v AS (
+            SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+        ), seq AS (
+            SELECT doc_id, unnest(ts) AS tok,
+                   generate_subscripts(ts, 1) AS pos
+            FROM toks
+        ), bif AS (
+            SELECT doc_id, a, b FROM (
+                SELECT doc_id, tok AS a,
+                       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS b
+                FROM seq
+            ) WHERE b IS NOT NULL
+        ), bc AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+            FROM bif GROUP BY a, b
+        ), score AS (
+            SELECT doc_id,
+                   ROUND(AVG(-LN((bc.cab + 1)
+                                 / CAST(ua.c + v.v AS DOUBLE))), 4) AS s
+            FROM bif
+            JOIN bc USING (a, b)
+            JOIN uni ua ON ua.tok = bif.a
+            CROSS JOIN v
+            GROUP BY doc_id
+        ), bucketed AS (
+            SELECT d.lang, sc.s,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY sc.s, sc.doc_id) AS bucket
+            FROM score sc JOIN documents d USING (doc_id)
+        )
+        SELECT lang, CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(s), 4) AS mean_score,
+               ROUND(MIN(s), 4) AS min_score,
+               ROUND(MAX(s), 4) AS max_score
+        FROM bucketed
+        GROUP BY lang, bucket
+        ORDER BY lang, bucket
+    """,
+    description="CCNet-style perplexity bucketing: per-language "
+    "head/middle/tail terciles of the bigram-LM quality score — the "
+    "partition CCNet/RedPajama use to stratify web text by fluency "
+    "before sampling. Buckets come from ntile(3) per language over "
+    "the ROUNDED score (ties broken by doc_id, so bucket assignment "
+    "is deterministic and engine-portable); the score pipeline is the "
+    "same exact-count shape as llm_quality_bigram_logprob. The ntile "
+    "sort rides per-language partitions — bounded independent sorts "
+    "at any corpus size",
+    tags=("llm", "text", "quality"),
+)
+def llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    score = llm_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_neg_logprob").alias("s")
+    )
+    docs = t["documents"].select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy("s", "doc_id")
+    bucketed = score.join(docs, "doc_id").select(
+        "lang", "s", F.ntile(3).over(w).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("s"), 4).alias("mean_score"),
+            F.round(F.min("s"), 4).alias("min_score"),
+            F.round(F.max("s"), 4).alias("max_score"),
+        )
+        .select(
+            "lang",
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "mean_score",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("lang", "bucket")
+    )

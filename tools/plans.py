@@ -108,6 +108,10 @@ REVIEW = {
     "q129_max_drawdown": "events collapse to (type,day) before the cumulative-max window; one shuffle each for rollup and window",
     "q130_target_encoding": "LOO as arithmetic on group totals (no window); fact-dim join unhinted, category-bounded sums broadcast back; TakeOrdered top-100",
     "q131_kaplan_meier": "events -> per-user row -> per-distinct-duration grid; survival product and at-risk prefix sums ride the bounded duration domain",
+    "q132_wilson_ci": "one distinct-count agg per day, then closed-form interval arithmetic — no resampling, no UDF",
+    "q133_pareto_8020": "per-part revenue rounded to cents BEFORE ranking (bit-identical cum ordering both engines); cumulative window partitioned per brand, never global",
+    "q134_path_trigrams": "one user-partitioned window makes trigrams; exact counts with map-side combine; top-20 via TakeOrdered",
+    "llm_quality_ppl_buckets": "bigram-score pipeline + per-language ntile(3) — bounded independent sorts per language",
 }
 
 

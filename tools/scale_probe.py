@@ -91,6 +91,8 @@ EXPECTED = {
     "llm_quality_bigram_logprob": ("explode + exact count aggs + shuffle-join scoring, linear at fixed vocab", 1.3),
     "q128_twap": ("one lead window + one agg on (type,day) partitions, linear", 1.3),
     "q131_kaplan_meier": ("per-user agg then duration-domain grid, linear", 1.3),
+    "q134_path_trigrams": ("one user window + counted trigrams, linear", 1.3),
+    "llm_quality_ppl_buckets": ("bigram pipeline + per-lang ntile, linear at fixed vocab", 1.3),
 }
 
 
