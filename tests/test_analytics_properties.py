@@ -1,0 +1,180 @@
+"""Semantic property checks for the r5 statistical-analytics pack.
+
+The DuckDB oracle gate (tests/test_oracle_queries.py) proves the two
+engines agree; these tests prove the MATH is right — invariants the
+estimators must satisfy regardless of data (a wrong formula mirrored
+into the oracle would pass the hash gate, as the r4 ADVICE pointed out
+for the span-merge case).
+"""
+
+from __future__ import annotations
+
+import math
+
+from amadou_spark.queries import REGISTRY, _load
+
+_load()
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir).collect()
+
+
+def test_ks_statistic_bounds(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "q124_ks_test")
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["n_a"] > 0 and row["n_b"] > 0
+
+
+def test_chi_square_nonnegative_and_dof(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "q123_chi_square")
+    assert row["chi2"] >= 0.0
+    # 5 segments x 25 nations -> dof = 4 * 24 (categories present at
+    # every SF of the generator)
+    assert row["dof"] == 4 * 24
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_benford_is_a_distribution(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q125_benford")
+    digits = sorted(r["digit"] for r in rows)
+    assert digits == list(range(1, 10))
+    assert abs(sum(r["obs_freq"] for r in rows) - 1.0) < 1e-3
+    # Benford expectation itself sums to 1
+    assert abs(sum(r["benford_freq"] for r in rows) - 1.0) < 1e-3
+
+
+def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q131_kaplan_meier")
+    assert rows, "KM curve should have at least one event time"
+    last = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= 1.0 + 1e-9
+        assert r["survival"] <= last + 1e-9, "survival must be non-increasing"
+        assert r["n_risk"] >= r["n_events"] >= 1
+        last = r["survival"]
+    # at-risk counts shrink as time advances
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_wilson_interval_contains_rate(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q132_wilson_ci")
+    for r in rows:
+        assert 0.0 <= r["ci_low"] <= r["rate"] <= r["ci_high"] <= 1.0
+        # Wilson interval is strictly inside (0, 1) for 0 < x < n
+        if 0 < r["n_converted"] < r["n_users"]:
+            assert r["ci_low"] > 0.0 and r["ci_high"] < 1.0
+
+
+def test_pareto_parts_bounded(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q133_pareto_8020")
+    for r in rows:
+        assert 1 <= r["parts_to_80"] <= r["n_parts"]
+        assert 0.0 < r["frac_parts"] <= 1.0
+
+
+def test_exact_quantiles_ordered(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q122_exact_quantiles")
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_ewma_within_series_range(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q126_ewma")
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        lo = min(r["v"] for r in series)
+        hi = max(r["v"] for r in series)
+        for r in series:
+            # a normalized convex combination can never leave the range
+            assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+
+
+def test_twap_within_value_range(spark, sf_dir):
+    # TWAP is a convex combination of the day's values -> global range
+    from amadou_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    stats = t["events"].agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    for r in _rows(spark, sf_dir, "q128_twap"):
+        assert stats["lo"] - 1e-6 <= r["twap"] <= stats["hi"] + 1e-6
+
+
+def test_max_drawdown_bounds(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "q129_max_drawdown"):
+        # drawdown of a positive series lies in [0, 1)
+        assert 0.0 <= r["max_drawdown"] < 1.0
+
+
+def test_attribution_accounts_for_every_purchase(spark, sf_dir):
+    from amadou_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    n_purchases = t["events"].filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    rows = _rows(spark, sf_dir, "q127_attribution")
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+    # channels can only be non-purchase event types (or the direct bucket)
+    allowed = {"click", "error", "signup", "view", "(direct)"}
+    assert {r["channel"] for r in rows} <= allowed
+
+
+def test_rolling_distinct_dominates_daily(spark, sf_dir):
+    """7-day rolling distinct >= same-day distinct, <= 7x sum bound."""
+    from amadou_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    daily = {
+        r["day"]: r["n"]
+        for r in t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in _rows(spark, sf_dir, "q119_rolling_distinct"):
+        if r["day"] in daily:
+            assert r["users_7d"] >= daily[r["day"]]
+
+
+def test_association_rules_support_and_lift(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "q120_association_rules"):
+        assert r["sxy"] >= 2, "min-support pruning must hold"
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+        assert r["x"] < r["y"], "pairs must be canonically ordered"
+
+
+def test_bigram_logprob_positive(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "llm_quality_bigram_logprob")
+    assert rows
+    for r in rows:
+        # -ln P with add-one smoothing is strictly positive and finite
+        assert 0.0 < r["avg_neg_logprob"] < 100.0
+        assert math.isfinite(r["avg_neg_logprob"])
+        assert r["n_bigrams"] >= 1
+
+
+def test_ppl_buckets_partition_the_corpus(spark, sf_dir):
+    from amadou_spark.catalog import register_tables
+
+    t = register_tables(spark, sf_dir)
+    n_docs = t["documents"].count()
+    rows = _rows(spark, sf_dir, "llm_quality_ppl_buckets")
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # tercile means must be non-decreasing within each language
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for series in by_lang.values():
+        series.sort(key=lambda r: r["bucket"])
+        means = [r["mean_score"] for r in series]
+        assert means == sorted(means)
