@@ -1930,3 +1930,135 @@ def q134_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "q135_decompose",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   {_R4_SQL.format(expr="AVG(value)")} AS v
+            FROM events GROUP BY 1, 2
+        ), tr AS (
+            SELECT event_type, day, v,
+                   SUM(v) OVER w / 7.0 AS trend,
+                   COUNT(*) OVER w AS wn
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        )
+        SELECT event_type,
+               -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based
+               CAST(dayofweek(day) + 1 AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               {_R4_SQL.format(expr="AVG(v - trend)")} AS seasonal
+        FROM tr WHERE wn = 7
+        GROUP BY event_type, dayofweek(day)
+        ORDER BY event_type, dow
+    """,
+    description="classical additive seasonal decomposition, step one "
+    "and two: trend = centered 7-day moving average (full windows "
+    "only), seasonal = mean detrended value per day-of-week — the "
+    "decomposition a forecasting pipeline runs before model fitting, "
+    "complementing q117's ratio-to-base seasonal index. The daily "
+    "rollup is the only raw-data pass; the centered window rides "
+    "(type, day) partitions; trend uses SUM/7 (not AVG) so both "
+    "engines fold the same 7 doubles in frame order; outputs use the "
+    "engine-stable floor rounding (see q126)",
+    tags=("timeseries", "events", "stats"),
+)
+def q135_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(_r4(F.avg("value")).alias("v"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "v",
+        (F.sum("v").over(w) / 7.0).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    return (
+        tr.filter(F.col("wn") == 7)
+        .groupBy(
+            "event_type", F.dayofweek("day").cast("int").alias("dow")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            _r4(F.avg(F.col("v") - F.col("trend"))).alias("seasonal"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@query(
+    "q136_reconciliation",
+    oracle="""
+        WITH li AS (
+            SELECT l_orderkey,
+                   SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       AS computed
+            FROM lineitem GROUP BY 1
+        ), j AS (
+            SELECT o.o_orderkey,
+                   ABS(o.o_totalprice - li.computed) AS adiff
+            FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+        )
+        SELECT CASE WHEN adiff < 0.005 THEN 'exact'
+                    WHEN adiff < 1.0 THEN 'rounding'
+                    ELSE 'discrepant' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND(MAX(adiff), 4) AS max_abs_diff
+        FROM j GROUP BY 1 ORDER BY 1
+    """,
+    description="order-to-lineitem financial reconciliation audit: "
+    "recompute each order's total from its lines "
+    "(extendedprice x (1-discount) x (1+tax)), compare to the stored "
+    "o_totalprice, and bucket the absolute discrepancy — the "
+    "cross-table consistency check a governance pipeline runs after "
+    "every load (complementing q90's single-table expectations). One "
+    "hash agg over lineitem + one key join; both sides shuffle on the "
+    "order key, no broadcast of fact-sized tables. MAX (not AVG) of "
+    "the diff per bucket keeps the output independent of float "
+    "summation order",
+    tags=("quality", "tpch"),
+)
+def q136_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("computed")
+    )
+    j = (
+        t["orders"]
+        .join(li, t["orders"]["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.abs(F.col("o_totalprice") - F.col("computed")).alias(
+                "adiff"
+            )
+        )
+    )
+    bucket = (
+        F.when(F.col("adiff") < 0.005, "exact")
+        .when(F.col("adiff") < 1.0, "rounding")
+        .otherwise("discrepant")
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.max("adiff"), 4).alias("max_abs_diff"),
+        )
+        .orderBy("bucket")
+    )

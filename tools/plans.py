@@ -112,6 +112,8 @@ REVIEW = {
     "q133_pareto_8020": "per-part revenue rounded to cents BEFORE ranking (bit-identical cum ordering both engines); cumulative window partitioned per brand, never global",
     "q134_path_trigrams": "one user-partitioned window makes trigrams; exact counts with map-side combine; top-20 via TakeOrdered",
     "llm_quality_ppl_buckets": "bigram-score pipeline + per-language ntile(3) — bounded independent sorts per language",
+    "q135_decompose": "daily rollup is the only raw pass; centered trend window rides (type,day) partitions; SUM/7 not AVG so both engines fold the same 7 doubles",
+    "q136_reconciliation": "one lineitem hash agg + one key join, both shuffle on the order key; MAX not AVG keeps output independent of float sum order",
 }
 
 
