@@ -2062,3 +2062,52 @@ def q136_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q137_funnel_regex",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   STRING_AGG(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_user_days,
+               CAST(SUM(CASE WHEN s LIKE '%v%c%p%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               ROUND(SUM(CASE WHEN s LIKE '%v%c%p%' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS conversion_rate
+        FROM seq GROUP BY day ORDER BY day
+    """,
+    description="MATCH_RECOGNIZE-style ordered-pattern funnel: each "
+    "(user, day) stream collapses to an ordered event-initial string "
+    "(listagg WITHIN GROUP), and the view->click->purchase SUBSEQUENCE "
+    "is one ANSI LIKE '%v%c%p%' — pattern detection over event order "
+    "that plain per-step filters cannot express (steps may interleave "
+    "with anything). Engine-portable: LIKE wildcards, not a regex "
+    "dialect; the within-group order is total (ts, event_id). One "
+    "shuffle on (user, day); string length is bounded by a user-day's "
+    "events, so the pattern scan is local and linear",
+    tags=("events", "timeseries"),
+)
+def q137_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH seq AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   listagg(substr(event_type, 1, 1), '')
+                       WITHIN GROUP (ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_user_days,
+               CAST(SUM(CASE WHEN s LIKE '%v%c%p%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               ROUND(SUM(CASE WHEN s LIKE '%v%c%p%' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS conversion_rate
+        FROM seq GROUP BY day ORDER BY day
+        """
+    )

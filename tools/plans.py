@@ -114,6 +114,7 @@ REVIEW = {
     "llm_quality_ppl_buckets": "bigram-score pipeline + per-language ntile(3) — bounded independent sorts per language",
     "q135_decompose": "daily rollup is the only raw pass; centered trend window rides (type,day) partitions; SUM/7 not AVG so both engines fold the same 7 doubles",
     "q136_reconciliation": "one lineitem hash agg + one key join, both shuffle on the order key; MAX not AVG keeps output independent of float sum order",
+    "q137_funnel_regex": "one shuffle on (user,day) builds ordered event strings; the subsequence pattern is a local ANSI LIKE scan — no joins, no regex dialect",
 }
 
 
