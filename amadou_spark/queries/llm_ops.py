@@ -1898,3 +1898,168 @@ def llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "llm_chunk_cdc",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN pos >= 4 THEN
+                        lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w
+                        || ' ' || lag(tok, 1) OVER w || ' ' || tok
+                   END AS gram
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN gram IS NOT NULL AND
+                        CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+                            % 16 = 0
+                        THEN 1 ELSE 0 END AS b
+            FROM grams
+        ), assigned AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                       AS chunk_id
+            FROM flagged
+        ), chunks AS (
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(MIN(pos) AS BIGINT) AS start_pos,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+            FROM assigned GROUP BY doc_id, chunk_id
+        ), freq AS (
+            SELECT h, count(*) AS nh FROM chunks GROUP BY h
+        )
+        SELECT c.doc_id, c.chunk_id, c.start_pos, c.n_tokens,
+               CAST(f.nh > 1 AS BOOLEAN) AS is_dup
+        FROM chunks c JOIN freq f USING (h)
+        ORDER BY c.doc_id, c.chunk_id
+    """,
+    description="content-defined chunking (the rsync/LBFS/FastCDC idea "
+    "at token granularity): a chunk boundary falls wherever the "
+    "rolling 4-token window hash % 16 == 0, so boundaries are decided "
+    "by LOCAL content — insert a sentence and only the chunks around "
+    "the edit change, unlike fixed-stride chunking "
+    "(llm_chunk_documents) where every downstream boundary shifts. "
+    "That makes chunk hashes reusable across crawl snapshots for "
+    "incremental dedup; is_dup marks chunks whose content hash recurs "
+    "corpus-wide. Hashing is the portable md5-prefix construction "
+    "(identical in both engines); one doc-partitioned window pair + "
+    "two hash aggs, the dup join is UNHINTED (chunk tables scale with "
+    "the corpus)",
+    tags=("llm", "dedup", "text"),
+)
+def llm_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.when(
+        F.col("pos") >= 4,
+        F.concat_ws(
+            " ",
+            F.lag("tok", 3).over(w),
+            F.lag("tok", 2).over(w),
+            F.lag("tok", 1).over(w),
+            F.col("tok"),
+        ),
+    )
+    b = F.when(
+        gram.isNotNull()
+        & (
+            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+            % 16
+            == 0
+        ),
+        1,
+    ).otherwise(0)
+    w_prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    assigned = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(b).over(w_prev), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
+        F.min("pos").cast("bigint").alias("start_pos"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).tok, " ")
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count("*").alias("nh"))
+    return (
+        chunks.join(freq, "h")
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "start_pos",
+            "n_tokens",
+            (F.col("nh") > 1).alias("is_dup"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "llm_dedup_normalized",
+    oracle="""
+        WITH canon AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c
+            FROM documents
+        ), grouped AS (
+            SELECT md5(c) AS chash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM canon GROUP BY md5(c)
+        )
+        SELECT chash, n_docs, keep_id
+        FROM grouped WHERE n_docs > 1
+        ORDER BY chash
+    """,
+    description="normalization-canonicalized exact dedup: lowercase, "
+    "strip non-alphanumerics, collapse whitespace, THEN hash — catches "
+    "the near-dups that differ only in casing/punctuation/spacing, "
+    "which byte-exact dedup (llm_dedup_exact) misses and which "
+    "shingle-based near-dup over-pays for. The normalization is a "
+    "JVM/engine-native regex chain on one scan; only the 32-byte "
+    "canonical hash shuffles (never the text), exactly the "
+    "llm_dedup_exact scale posture. First normalization pass of the "
+    "C4/CCNet pipelines",
+    tags=("llm", "dedup", "text"),
+)
+def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.md5(canon).alias("chash"))
+        .groupBy("chash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chash")
+    )

@@ -178,3 +178,55 @@ def test_ppl_buckets_partition_the_corpus(spark, sf_dir):
         series.sort(key=lambda r: r["bucket"])
         means = [r["mean_score"] for r in series]
         assert means == sorted(means)
+
+
+def test_cdc_chunks_tile_documents(spark, sf_dir):
+    """CDC chunks must exactly tile each doc: contiguous, non-
+    overlapping, covering every token (boundaries only REPARTITION
+    the token stream)."""
+    from amadou_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in t["documents"]
+        .select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+        )
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in _rows(spark, sf_dir, "llm_chunk_cdc"):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert chunks[0]["start_pos"] == 1
+        pos = 1
+        for c in chunks:
+            assert c["start_pos"] == pos, "chunks must be contiguous"
+            assert c["n_tokens"] >= 1
+            pos += c["n_tokens"]
+        assert pos - 1 == n_tokens[doc_id], "chunks must cover the doc"
+
+
+def test_normalized_dedup_is_superset_of_exact(spark, sf_dir):
+    """Every byte-exact duplicate group is also a normalized-dup group
+    (normalization is deterministic, so equal texts stay equal)."""
+    from amadou_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    exact_dups = (
+        t["documents"]
+        .groupBy(F.md5("text"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    norm_rows = _rows(spark, sf_dir, "llm_dedup_normalized")
+    assert len(norm_rows) >= exact_dups
+    for r in norm_rows:
+        assert r["n_docs"] >= 2
+        assert r["keep_id"] >= 0

@@ -115,6 +115,8 @@ REVIEW = {
     "q135_decompose": "daily rollup is the only raw pass; centered trend window rides (type,day) partitions; SUM/7 not AVG so both engines fold the same 7 doubles",
     "q136_reconciliation": "one lineitem hash agg + one key join, both shuffle on the order key; MAX not AVG keeps output independent of float sum order",
     "q137_funnel_regex": "one shuffle on (user,day) builds ordered event strings; the subsequence pattern is a local ANSI LIKE scan — no joins, no regex dialect",
+    "llm_chunk_cdc": "boundaries from a local rolling-hash test (one doc-partitioned window pair); dup join UNHINTED — chunk tables scale with the corpus",
+    "llm_dedup_normalized": "regex-normalize on one scan; only the 32-byte canonical hash shuffles, never text",
 }
 
 

@@ -93,6 +93,8 @@ EXPECTED = {
     "q131_kaplan_meier": ("per-user agg then duration-domain grid, linear", 1.3),
     "q134_path_trigrams": ("one user window + counted trigrams, linear", 1.3),
     "llm_quality_ppl_buckets": ("bigram pipeline + per-lang ntile, linear at fixed vocab", 1.3),
+    "llm_chunk_cdc": ("doc-local windows + two hash aggs, linear", 1.3),
+    "llm_dedup_normalized": ("one scan + 32-byte hash shuffle, linear", 1.3),
 }
 
 
