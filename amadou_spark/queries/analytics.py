@@ -2111,3 +2111,99 @@ def q137_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq GROUP BY day ORDER BY day
         """
     )
+
+
+@query(
+    "q138_daily_health",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   {_R4_SQL.format(expr="AVG(value)")} AS v
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, day, v,
+                   {_R4_SQL.format(
+                       expr=f"({_EWMA_NUMER_SQL}) / ({_EWMA_DENOM_SQL})"
+                   )} AS ewma,
+                   lag(v, 7) OVER w AS v7,
+                   AVG(v) OVER pw AS mu,
+                   STDDEV_SAMP(v) OVER pw AS sd,
+                   COUNT(*) OVER pw AS n_hist
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day),
+                   pw AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day, v, ewma,
+               CASE WHEN v7 IS NOT NULL AND v > 0
+                    THEN {_R4_SQL.format(expr="ABS(v - v7) / v")}
+               END AS snaive_ape,
+               CASE WHEN n_hist >= 8 AND sd > 1e-9
+                    THEN ROUND((v - mu) / sd, 3) END AS z,
+               COALESCE(n_hist >= 8 AND sd > 1e-9
+                        AND ABS((v - mu) / sd) > 2, FALSE) AS is_anomaly
+        FROM m ORDER BY event_type, day
+    """,
+    description="composite daily health report: the monitoring table a "
+    "pipeline materializes every morning — smoothed level (8-tap EWMA), "
+    "seasonal-naive forecast error (|v - v[-7]|/v) and a rolling "
+    "z-score anomaly flag against the prior 14 days, per event type "
+    "and day. ALL THREE analytics ride ONE shared daily rollup "
+    "(materialized once) and ONE (event_type, day) window sort — the "
+    "lag/ewma/mean/std/count window functions share the exchange, so "
+    "the whole report costs one rollup shuffle plus one window "
+    "shuffle regardless of how many health metrics it carries. The "
+    "composition pattern (share the grain, stack window functions on "
+    "one spec) is the difference between one pass and N passes at "
+    "100 TB",
+    tags=("timeseries", "events", "stats"),
+)
+def q138_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    daily = materialize_shared(
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(_r4(F.avg("value")).alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    pw = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
+    numer = None
+    denom = None
+    for i, wt in enumerate(_EWMA_W):
+        lagged = F.lag("v", i).over(w)
+        nterm = F.coalesce(lagged, F.lit(0.0)) * F.lit(wt)
+        dterm = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        numer = nterm if numer is None else numer + nterm
+        denom = dterm if denom is None else denom + dterm
+    m = daily.select(
+        "event_type",
+        "day",
+        "v",
+        _r4(numer / denom).alias("ewma"),
+        F.lag("v", 7).over(w).alias("v7"),
+        F.avg("v").over(pw).alias("mu"),
+        F.stddev_samp("v").over(pw).alias("sd"),
+        F.count("*").over(pw).alias("n_hist"),
+    )
+    ok_hist = (F.col("n_hist") >= 8) & (F.col("sd") > 1e-9)
+    zscore = (F.col("v") - F.col("mu")) / F.col("sd")
+    return m.select(
+        "event_type",
+        "day",
+        "v",
+        "ewma",
+        F.when(
+            F.col("v7").isNotNull() & (F.col("v") > 0),
+            _r4(F.abs(F.col("v") - F.col("v7")) / F.col("v")),
+        ).alias("snaive_ape"),
+        F.when(ok_hist, F.round(zscore, 3)).alias("z"),
+        F.coalesce(
+            ok_hist & (F.abs(zscore) > 2), F.lit(False)
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "day")

@@ -117,6 +117,7 @@ REVIEW = {
     "q137_funnel_regex": "one shuffle on (user,day) builds ordered event strings; the subsequence pattern is a local ANSI LIKE scan — no joins, no regex dialect",
     "llm_chunk_cdc": "boundaries from a local rolling-hash test (one doc-partitioned window pair); dup join UNHINTED — chunk tables scale with the corpus",
     "llm_dedup_normalized": "regex-normalize on one scan; only the 32-byte canonical hash shuffles, never text",
+    "q138_daily_health": "three analytics (ewma, snaive error, anomaly z) share ONE materialized rollup and ONE (type,day) window sort — one pass, not N",
 }
 
 
