@@ -2207,3 +2207,105 @@ def q138_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok_hist & (F.abs(zscore) > 2), F.lit(False)
         ).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "q139_growth_accounting",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), firsts AS (
+            SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id
+        ), labeled AS (
+            SELECT d.day,
+                   CASE
+                     WHEN d.day = f.first_day THEN 'new'
+                     WHEN y.user_id IS NOT NULL THEN 'retained'
+                     ELSE 'resurrected'
+                   END AS status
+            FROM du d
+            JOIN firsts f ON f.user_id = d.user_id
+            LEFT JOIN du y ON y.user_id = d.user_id
+                          AND y.day = d.day - 1
+        ), churned AS (
+            SELECT CAST(y.day + 1 AS DATE) AS day,
+                   'churned' AS status
+            FROM du y
+            LEFT JOIN du t ON t.user_id = y.user_id
+                          AND t.day = y.day + 1
+            WHERE t.user_id IS NULL
+              AND y.day < (SELECT MAX(day) FROM du)
+        )
+        SELECT day, status, CAST(count(*) AS BIGINT) AS n_users
+        FROM (SELECT day, status FROM labeled
+              UNION ALL SELECT day, status FROM churned)
+        GROUP BY day, status
+        ORDER BY day, status
+    """,
+    description="DAU growth accounting (the Social Capital framework): "
+    "every active (user, day) is exactly one of new (first day ever), "
+    "retained (also active yesterday) or resurrected (active before "
+    "but not yesterday), plus churned counted against the day a "
+    "previously-active user went silent — the decomposition every "
+    "growth dashboard runs, and an invariant-rich one (new + retained "
+    "+ resurrected = DAU; retained(d) + churned(d) = DAU(d-1)). "
+    "Spark side: raw events collapse to the DISTINCT (user, day) "
+    "grain once (materialized, it feeds four consumers), yesterday "
+    "membership is a self equi-join on (user, day-1) — never a window "
+    "over user history — and first days are one hash agg. All joins "
+    "shuffle on user_id at the collapsed grain",
+    tags=("events", "timeseries"),
+)
+def q139_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    du = materialize_shared(
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    yday = du.select(
+        F.col("user_id").alias("y_user"), F.col("day").alias("y_day")
+    )
+    labeled = (
+        du.join(firsts, "user_id")
+        .join(
+            yday,
+            (F.col("user_id") == F.col("y_user"))
+            & (F.col("y_day") == F.date_sub(F.col("day"), 1)),
+            "left",
+        )
+        .select(
+            "day",
+            F.when(F.col("day") == F.col("first_day"), "new")
+            .when(F.col("y_user").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    max_day = du.agg(F.max("day").alias("max_day"))
+    today = du.select(
+        F.col("user_id").alias("t_user"), F.col("day").alias("t_day")
+    )
+    churned = (
+        du.join(
+            today,
+            (F.col("user_id") == F.col("t_user"))
+            & (F.col("t_day") == F.date_add(F.col("day"), 1)),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") < F.col("max_day"))
+        .select(
+            F.date_add(F.col("day"), 1).alias("day"),
+            F.lit("churned").alias("status"),
+        )
+    )
+    return (
+        labeled.unionByName(churned)
+        .groupBy("day", "status")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("day", "status")
+    )

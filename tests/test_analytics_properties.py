@@ -230,3 +230,36 @@ def test_normalized_dedup_is_superset_of_exact(spark, sf_dir):
     for r in norm_rows:
         assert r["n_docs"] >= 2
         assert r["keep_id"] >= 0
+
+
+def test_growth_accounting_invariants(spark, sf_dir):
+    """new + retained + resurrected = DAU(d); retained(d) + churned(d)
+    = DAU(d-1) — the accounting identities the framework guarantees."""
+    from amadou_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    dau = {
+        r["day"]: r["n"]
+        for r in t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    by_day: dict = {}
+    for r in _rows(spark, sf_dir, "q139_growth_accounting"):
+        by_day.setdefault(r["day"], {})[r["status"]] = r["n_users"]
+    import datetime
+
+    for day, st in by_day.items():
+        active = (
+            st.get("new", 0) + st.get("retained", 0)
+            + st.get("resurrected", 0)
+        )
+        if day in dau:  # churn-only rows exist past silent days
+            assert active == dau[day], f"{day}: {st} != DAU {dau[day]}"
+        prev = day - datetime.timedelta(days=1)
+        if prev in dau:
+            assert st.get("retained", 0) + st.get("churned", 0) == dau[
+                prev
+            ], f"{day}: retained+churned != DAU({prev})"

@@ -118,6 +118,7 @@ REVIEW = {
     "llm_chunk_cdc": "boundaries from a local rolling-hash test (one doc-partitioned window pair); dup join UNHINTED — chunk tables scale with the corpus",
     "llm_dedup_normalized": "regex-normalize on one scan; only the 32-byte canonical hash shuffles, never text",
     "q138_daily_health": "three analytics (ewma, snaive error, anomaly z) share ONE materialized rollup and ONE (type,day) window sort — one pass, not N",
+    "q139_growth_accounting": "distinct (user,day) grain materialized once for four consumers; yesterday membership via self equi-join, never a window over user history",
 }
 
 
