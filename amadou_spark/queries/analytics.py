@@ -2309,3 +2309,97 @@ def q139_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("day", "status")
     )
+
+
+@query(
+    "q140_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(CAST(ts AS DATE)))
+                        AS DATE) AS cohort_week,
+                   CAST(count(*) AS BIGINT) AS _n
+            FROM events GROUP BY user_id
+        ), cohort_size AS (
+            SELECT cohort_week,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM firsts GROUP BY cohort_week
+        ), rev AS (
+            SELECT f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week,
+                                        CAST(e.ts AS DATE)) / 7.0)
+                        AS BIGINT) AS week_offset,
+                   ROUND(SUM(e.value), 2) AS wk_rev
+            FROM events e
+            JOIN firsts f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT r.cohort_week, r.week_offset, c.n_users,
+                   SUM(r.wk_rev) OVER (PARTITION BY r.cohort_week
+                                       ORDER BY r.week_offset
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS cum_rev
+            FROM rev r JOIN cohort_size c USING (cohort_week)
+        )
+        SELECT cohort_week, week_offset, n_users,
+               ROUND(cum_rev / n_users, 4) AS ltv_per_user
+        FROM cum ORDER BY cohort_week, week_offset
+    """,
+    description="cohort LTV curves: users grouped by first-activity "
+    "week, purchase revenue accumulated by weeks-since-signup, "
+    "normalized per cohort user — the lifetime-value table every "
+    "growth model is fit on (q58's retention matrix with revenue "
+    "instead of presence). Weekly revenue is ROUNDED to cents before "
+    "the cumulative window so both engines sum identical doubles in "
+    "the same order. Events collapse to (cohort, week_offset) before "
+    "any window; the cumulative sum rides per-cohort partitions",
+    tags=("events", "timeseries"),
+)
+def q140_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    firsts = materialize_shared(
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min(F.to_date("ts")))
+            .cast("date")
+            .alias("cohort_week")
+        )
+    )
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    rev = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7.0
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("wk_rev"))
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(
+                F.sum("wk_rev").over(w) / F.col("n_users"), 4
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

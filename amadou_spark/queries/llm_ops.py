@@ -2063,3 +2063,101 @@ def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("chash")
     )
+
+
+@query(
+    "llm_span_corruption",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), masked AS (
+            SELECT doc_id, pos
+            FROM toks
+            WHERE CAST(('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 5 = 0
+        ), islands AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) = 1
+                        THEN 0 ELSE 1 END AS new_span
+            FROM masked
+        ), counts AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks t GROUP BY t.doc_id
+        )
+        SELECT c.doc_id, c.n_tokens,
+               CAST(COALESCE(SUM(1), 0) AS BIGINT) AS n_masked,
+               CAST(COALESCE(SUM(i.new_span), 0) AS BIGINT) AS n_spans,
+               ROUND(count(*) / CAST(MAX(c.n_tokens) AS DOUBLE), 4)
+                   AS mask_ratio,
+               ROUND(count(*)
+                     / CAST(SUM(i.new_span) AS DOUBLE), 4)
+                   AS mean_span_len
+        FROM counts c JOIN islands i USING (doc_id)
+        GROUP BY c.doc_id, c.n_tokens
+        ORDER BY c.doc_id
+    """,
+    description="T5/UL2-style span-corruption planning stats: which "
+    "tokens a 20% masking pass would corrupt, how many contiguous "
+    "SPANS they form (the sentinel count) and the mean span length — "
+    "computed with DETERMINISTIC pseudo-randomness (portable "
+    "md5(doc_id:pos) % 5), so the masking plan is reproducible across "
+    "engines, reruns and reshards — the property a distributed "
+    "pretraining pipeline needs from its corruption step (a rand() "
+    "mask would differ per retry). Island counting is one "
+    "doc-partitioned lag window; everything rides (doc_id, pos) "
+    "pairs, never text",
+    tags=("llm", "tokenizer", "text"),
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "_t"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    masked = toks.filter(h % 5 == 0)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    islands = masked.select(
+        "doc_id",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0)
+        .otherwise(1)
+        .alias("new_span"),
+    )
+    counts = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    return (
+        counts.join(islands, "doc_id")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").cast("bigint").alias("n_masked"),
+            F.sum("new_span").cast("bigint").alias("n_spans"),
+            F.round(
+                F.count("*") / F.max("n_tokens").cast("double"), 4
+            ).alias("mask_ratio"),
+            F.round(
+                F.count("*") / F.sum("new_span").cast("double"), 4
+            ).alias("mean_span_len"),
+        )
+        .orderBy("doc_id")
+    )

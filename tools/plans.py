@@ -119,6 +119,8 @@ REVIEW = {
     "llm_dedup_normalized": "regex-normalize on one scan; only the 32-byte canonical hash shuffles, never text",
     "q138_daily_health": "three analytics (ewma, snaive error, anomaly z) share ONE materialized rollup and ONE (type,day) window sort — one pass, not N",
     "q139_growth_accounting": "distinct (user,day) grain materialized once for four consumers; yesterday membership via self equi-join, never a window over user history",
+    "q140_cohort_ltv": "weekly revenue rounded to cents BEFORE the cumulative window (identical doubles both engines); cum sum rides per-cohort partitions",
+    "llm_span_corruption": "deterministic md5 mask (reproducible across engines/reshards); island window and aggs ride (doc,pos) pairs, never text",
 }
 
 
