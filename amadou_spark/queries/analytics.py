@@ -2403,3 +2403,133 @@ def q140_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q141_price_elasticity",
+    oracle="""
+        WITH obs AS (
+            SELECT p.p_brand,
+                   LN(l.l_extendedprice * (1 - l.l_discount)
+                      / l.l_quantity) AS x,
+                   LN(l.l_quantity) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity > 0
+        )
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND((AVG(x * y) - AVG(x) * AVG(y))
+                     / (AVG(x * x) - AVG(x) * AVG(x)), 4)
+                   AS elasticity,
+               ROUND(AVG(y) , 4) AS mean_log_qty
+        FROM obs GROUP BY p_brand
+        HAVING (AVG(x * x) - AVG(x) * AVG(x)) > 1e-12
+        ORDER BY p_brand
+    """,
+    description="log-log price elasticity of demand per brand: OLS "
+    "slope of ln(quantity) on ln(unit price after discount) — the "
+    "moment-based closed form (cov/var from four averages), one hash "
+    "agg after the fact-dim join, no window and no iterative fit. The "
+    "demand-curve shape every pricing pipeline estimates; the "
+    "degenerate zero-variance group is excluded by the same HAVING on "
+    "both sides. Averages of logs are the one float-accumulation "
+    "surface — rounded to 4, the accepted corr-class risk",
+    tags=("stats", "tpch"),
+)
+def q141_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    obs = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .join(
+            t["part"],
+            t["lineitem"]["l_partkey"] == t["part"]["p_partkey"],
+        )
+        .select(
+            "p_brand",
+            F.log(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                / F.col("l_quantity")
+            ).alias("x"),
+            F.log("l_quantity").alias("y"),
+        )
+    )
+    var_x = F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")
+    cov_xy = F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")
+    return (
+        obs.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(cov_xy / var_x, 4).alias("elasticity"),
+            F.round(F.avg("y"), 4).alias("mean_log_qty"),
+            var_x.alias("_vx"),
+        )
+        .filter(F.col("_vx") > 1e-12)
+        .drop("_vx")
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q142_order_cycle_time",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                                       o_orderkey),
+                       o_orderdate) AS gap_days
+            FROM orders
+        ), per_cust AS (
+            SELECT o_custkey, AVG(gap_days) AS mean_gap
+            FROM gaps WHERE gap_days IS NOT NULL
+            GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               ROUND(AVG(p.mean_gap), 4) AS mean_cycle_days,
+               ROUND(MIN(p.mean_gap), 4) AS min_cycle_days,
+               ROUND(MAX(p.mean_gap), 4) AS max_cycle_days
+        FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    description="order cycle time: days between a customer's "
+    "consecutive orders (lag window over each customer's order "
+    "history), averaged per customer then profiled per market segment "
+    "— the repeat-purchase cadence metric behind replenishment and "
+    "churn models. Gaps are exact integer day diffs; the only float "
+    "is the final two-level average. One window shuffle on custkey, "
+    "one rollup, one dim join",
+    tags=("tpch", "timeseries"),
+)
+def q142_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t["orders"].select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    per_cust = (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.avg("gap_days").alias("mean_gap"))
+    )
+    return (
+        per_cust.join(
+            t["customer"],
+            per_cust["o_custkey"] == t["customer"]["c_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg("mean_gap"), 4).alias("mean_cycle_days"),
+            F.round(F.min("mean_gap"), 4).alias("min_cycle_days"),
+            F.round(F.max("mean_gap"), 4).alias("max_cycle_days"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -121,6 +121,8 @@ REVIEW = {
     "q139_growth_accounting": "distinct (user,day) grain materialized once for four consumers; yesterday membership via self equi-join, never a window over user history",
     "q140_cohort_ltv": "weekly revenue rounded to cents BEFORE the cumulative window (identical doubles both engines); cum sum rides per-cohort partitions",
     "llm_span_corruption": "deterministic md5 mask (reproducible across engines/reshards); island window and aggs ride (doc,pos) pairs, never text",
+    "q141_price_elasticity": "moment-based OLS (cov/var from four averages) — one hash agg after the fact-dim join, no window, no iterative fit",
+    "q142_order_cycle_time": "one window shuffle on custkey, one rollup, one dim join; gaps are exact integer day diffs",
 }
 
 
