@@ -2533,3 +2533,97 @@ def q142_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q143_welch_ttest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                        THEN 1 ELSE 0 END AS wk,
+                   AVG(value) AS v
+            FROM events GROUP BY 1, 2, 3
+        ), s AS (
+            SELECT event_type,
+                   CAST(SUM(wk) AS BIGINT) AS n1,
+                   CAST(SUM(1 - wk) AS BIGINT) AS n2,
+                   AVG(CASE WHEN wk = 1 THEN v END) AS m1,
+                   AVG(CASE WHEN wk = 0 THEN v END) AS m2,
+                   VAR_SAMP(CASE WHEN wk = 1 THEN v END) AS s1,
+                   VAR_SAMP(CASE WHEN wk = 0 THEN v END) AS s2
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+               ROUND(m1 - m2, 4) AS mean_diff,
+               ROUND((m1 - m2) / SQRT(s1 / n1 + s2 / n2), 4) AS t_stat,
+               ROUND(POW(s1 / n1 + s2 / n2, 2)
+                     / (POW(s1 / n1, 2) / (n1 - 1)
+                        + POW(s2 / n2, 2) / (n2 - 1)), 2) AS welch_dof
+        FROM s
+        WHERE n1 >= 2 AND n2 >= 2 AND (s1 / n1 + s2 / n2) > 1e-12
+        ORDER BY event_type
+    """,
+    description="Welch's unequal-variance t-test: weekend vs weekday "
+    "daily values per event type, with the Welch-Satterthwaite "
+    "effective degrees of freedom — the two-sample comparison an "
+    "experimentation platform runs when variances differ (Student's "
+    "pooled test is wrong there). Everything is conditional "
+    "aggregates over the daily rollup — ONE scan, one group-by, no "
+    "join between the two samples; at 100 TB the two-sample test is "
+    "just two more columns on an existing rollup",
+    tags=("stats", "events"),
+)
+def q143_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6=Saturday.
+    # Weekend = {Sunday, Saturday} on both sides.
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.when(
+                F.dayofweek(F.to_date("ts")).isin(1, 7), 1
+            )
+            .otherwise(0)
+            .alias("wk"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    v1 = F.when(F.col("wk") == 1, F.col("v"))
+    v2 = F.when(F.col("wk") == 0, F.col("v"))
+    s = daily.groupBy("event_type").agg(
+        F.sum("wk").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("n2"),
+        F.avg(v1).alias("m1"),
+        F.avg(v2).alias("m2"),
+        F.var_samp(v1).alias("s1"),
+        F.var_samp(v2).alias("s2"),
+    )
+    se2 = F.col("s1") / F.col("n1") + F.col("s2") / F.col("n2")
+    return (
+        s.filter(
+            (F.col("n1") >= 2) & (F.col("n2") >= 2) & (se2 > 1e-12)
+        )
+        .select(
+            "event_type",
+            F.col("n1").alias("n_weekend"),
+            F.col("n2").alias("n_weekday"),
+            F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+            F.round(
+                (F.col("m1") - F.col("m2")) / F.sqrt(se2), 4
+            ).alias("t_stat"),
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("s1") / F.col("n1"), 2)
+                    / (F.col("n1") - 1)
+                    + F.pow(F.col("s2") / F.col("n2"), 2)
+                    / (F.col("n2") - 1)
+                ),
+                2,
+            ).alias("welch_dof"),
+        )
+        .orderBy("event_type")
+    )

@@ -275,6 +275,33 @@ def _bpe_oracle(num_merges: int, final: str = "merges") -> str:
         FROM v{num_merges} ORDER BY word"""
         )
         return "".join(blocks)
+    if final == "fertility":
+        blocks.append(
+            f"""
+        , enc AS (
+            SELECT word,
+                   CAST(len(list_filter(string_split(repr, '·'),
+                                        x -> x <> '')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(word) AS BIGINT) AS n_chars
+            FROM v{num_merges}
+        ), corpus AS (
+            SELECT d.lang,
+                   unnest(string_split(d.text, ' ')) AS word
+            FROM documents d
+        )
+        SELECT c.lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(SUM(e.n_tokens) / CAST(count(*) AS DOUBLE), 4)
+                   AS fertility,
+               ROUND(SUM(e.n_chars) / CAST(SUM(e.n_tokens) AS DOUBLE), 4)
+                   AS chars_per_token
+        FROM corpus c JOIN enc e USING (word)
+        WHERE c.word <> ''
+        GROUP BY c.lang ORDER BY c.lang"""
+        )
+        return "".join(blocks)
     union = "\n            UNION ALL\n".join(
         f"""            SELECT {r} AS merge_rank, s1 AS left_sym,
                    s2 AS right_sym, s1 || s2 AS merged, n AS pair_count
@@ -1438,4 +1465,50 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dim", "p"),
         )
         .orderBy("vec_id", "dim")
+    )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle=_bpe_oracle(_BPE_MERGES, final="fertility"),
+    description="tokenizer fertility audit: tokens-per-word and "
+    "chars-per-token per language under the learned BPE merge table — "
+    "the diagnostic that decides whether a tokenizer under-serves a "
+    "language (high fertility = more sequence length spent per word, "
+    "worse effective context). Corpus words join the O(distinct words) "
+    "encode table (unhinted — open-web vocab outgrows any broadcast) "
+    "and roll up per language; the BPE rounds themselves never touch "
+    "the corpus. Oracle unrolls the same merge rounds and aggregation",
+    tags=("llm", "tokenizer", "text"),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.text import bpe_encode
+
+    t = register_tables(spark, sf_dir)
+    enc = bpe_encode(t["documents"], num_merges=_BPE_MERGES).select(
+        "word",
+        "n_tokens",
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    corpus = (
+        t["documents"]
+        .select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        corpus.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.count("*").cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_tokens").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )

@@ -123,6 +123,8 @@ REVIEW = {
     "llm_span_corruption": "deterministic md5 mask (reproducible across engines/reshards); island window and aggs ride (doc,pos) pairs, never text",
     "q141_price_elasticity": "moment-based OLS (cov/var from four averages) — one hash agg after the fact-dim join, no window, no iterative fit",
     "q142_order_cycle_time": "one window shuffle on custkey, one rollup, one dim join; gaps are exact integer day diffs",
+    "q143_welch_ttest": "two-sample test as conditional aggregates over one rollup — ONE scan, no join between the samples",
+    "llm_tokenizer_fertility": "corpus words join the O(distinct words) encode table UNHINTED; BPE rounds never touch the corpus",
 }
 
 
