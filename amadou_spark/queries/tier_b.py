@@ -636,3 +636,31 @@ def b09_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(joined, mode="append").orderBy(
         "user_id", "left_id", "right_id"
     )
+
+
+@query(
+    "b06_stream_daily_rollup",
+    oracle="""
+        SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS v
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    description="the analytics family's shared DAILY ROLLUP maintained "
+    "as a STREAM: events replayed through FileStreamSource -> watermark "
+    "-> tumbling 1-day windows -> memory sink, and the result hash-"
+    "matches the batch rollup the q104-q143 statistical pack consumes — "
+    "batch/stream duality for the entire daily analytics layer (at "
+    "100 TB the rollup is maintained incrementally by a streaming job "
+    "and the downstream EWMA/backtest/anomaly queries read the rollup "
+    "TABLE, never raw events). The avg uses the engine-stable floor "
+    "half-up rounding from q126",
+)
+def b06_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.streaming.windows import daily_rollup
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_stream_to_table(daily_rollup(stream), mode="complete")
+    return result.orderBy("day", "event_type")

@@ -200,3 +200,31 @@ def stateful_user_counts(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """The (event_type, day) rollup the analytics family (q104-q143)
+    consumes, batch OR stream: one tumbling 1-day window. The avg is
+    floor-half-up rounded the way q126's engine-stable form does
+    (Spark ROUND rounds the shortest decimal repr; floor(x*1e4+0.5)
+    is pure double arithmetic, identical on any engine)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", "1 hour")
+    return (
+        df.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.floor(F.avg("value") * 10000.0 + 0.5) / 10000.0).alias(
+                "v"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "v",
+        )
+    )
