@@ -2627,3 +2627,76 @@ def q143_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q144_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), days AS (
+            SELECT DISTINCT day FROM du
+        ), dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ), mau AS (
+            SELECT d.day,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+            GROUP BY d.day
+        )
+        SELECT dau.day, dau.dau, mau.mau,
+               ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 4) AS stickiness
+        FROM dau JOIN mau USING (day)
+        ORDER BY dau.day
+    """,
+    description="DAU/MAU stickiness — the engagement ratio every "
+    "product dashboard tracks (how much of the monthly audience shows "
+    "up daily). Same scalable form as q119's rolling distinct: the "
+    "DISTINCT (user, day) grain is materialized once and each "
+    "observation explodes into the <=28 trailing-window days it "
+    "contributes to (bounded sequence() fan-out, no range join); the "
+    "oracle pins the equivalent day-range join. At 100 TB the fan-out "
+    "rides the collapsed grain, never raw events",
+    tags=("events", "timeseries"),
+)
+def q144_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    du = materialize_shared(
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+        ).alias("target_day"),
+    )
+    mau = (
+        contrib.join(
+            F.broadcast(days),
+            contrib["target_day"] == days["day"],
+            "left_semi",
+        )
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau") / F.col("mau").cast("double"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

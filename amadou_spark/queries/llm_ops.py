@@ -2161,3 +2161,96 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ENSEMBLE_STOPS_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+
+
+@query(
+    "llm_quality_ensemble",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   SUM(len(tok)) / CAST(count(*) AS DOUBLE)
+                       AS mean_word_len,
+                   SUM(CASE WHEN lower(tok) IN ({_ENSEMBLE_STOPS_SQL})
+                            THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE) AS stop_frac,
+                   1.0 - count(DISTINCT tok) / CAST(count(*) AS DOUBLE)
+                       AS dup_frac
+            FROM toks GROUP BY doc_id
+        ), scored AS (
+            SELECT d.lang,
+                   (CASE WHEN p.n_words BETWEEN 50 AND 100000
+                         THEN 0 ELSE 1 END)
+                   + (CASE WHEN p.mean_word_len BETWEEN 3 AND 10
+                           THEN 0 ELSE 1 END)
+                   + (CASE WHEN p.stop_frac >= 0.06 THEN 0 ELSE 1 END)
+                   + (CASE WHEN p.dup_frac <= 0.5 THEN 0 ELSE 1 END)
+                       AS n_fails
+            FROM per_doc p JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               CASE WHEN n_fails = 0 THEN 'keep'
+                    WHEN n_fails = 1 THEN 'review'
+                    ELSE 'drop' END AS tier,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM scored
+        GROUP BY 1, 2 ORDER BY lang, tier
+    """,
+    description="quality-filter ensemble decision: four cheap gates "
+    "(word count 50-100k, mean word length 3-10, stopword fraction "
+    ">= 0.06, duplicate-token fraction <= 0.5 — the Gopher/C4 core) "
+    "voted into keep / review / drop tiers per language — the final "
+    "routing decision a curation pipeline makes, where single-gate "
+    "failures go to human review instead of being silently dropped. "
+    "One explode + one per-doc agg + one rollup; every gate is "
+    "integer/ratio arithmetic on exact counts, thresholds far from "
+    "float boundaries",
+    tags=("llm", "quality", "text"),
+)
+def llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        (
+            F.sum(F.length("tok")) / F.count("*").cast("double")
+        ).alias("mean_word_len"),
+        (
+            F.sum(
+                F.when(
+                    F.lower(F.col("tok")).isin(*STOPWORDS_EN), 1
+                ).otherwise(0)
+            )
+            / F.count("*").cast("double")
+        ).alias("stop_frac"),
+        (
+            1.0
+            - F.count_distinct("tok") / F.count("*").cast("double")
+        ).alias("dup_frac"),
+    )
+    n_fails = (
+        F.when(F.col("n_words").between(50, 100000), 0).otherwise(1)
+        + F.when(F.col("mean_word_len").between(3, 10), 0).otherwise(1)
+        + F.when(F.col("stop_frac") >= 0.06, 0).otherwise(1)
+        + F.when(F.col("dup_frac") <= 0.5, 0).otherwise(1)
+    )
+    tier = (
+        F.when(F.col("n_fails") == 0, "keep")
+        .when(F.col("n_fails") == 1, "review")
+        .otherwise("drop")
+    )
+    return (
+        per_doc.join(t["documents"].select("doc_id", "lang"), "doc_id")
+        .withColumn("n_fails", n_fails)
+        .groupBy("lang", tier.alias("tier"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang", "tier")
+    )

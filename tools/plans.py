@@ -125,6 +125,8 @@ REVIEW = {
     "q142_order_cycle_time": "one window shuffle on custkey, one rollup, one dim join; gaps are exact integer day diffs",
     "q143_welch_ttest": "two-sample test as conditional aggregates over one rollup — ONE scan, no join between the samples",
     "llm_tokenizer_fertility": "corpus words join the O(distinct words) encode table UNHINTED; BPE rounds never touch the corpus",
+    "q144_stickiness": "DAU and MAU both derive from the materialized distinct (user,day) grain; MAU via bounded 28x sequence() fan-out, no range join",
+    "llm_quality_ensemble": "one explode + one per-doc agg + one rollup; gates are integer/ratio arithmetic far from float boundaries",
 }
 
 
