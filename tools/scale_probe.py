@@ -95,6 +95,8 @@ EXPECTED = {
     "llm_quality_ppl_buckets": ("bigram pipeline + per-lang ntile, linear at fixed vocab", 1.3),
     "llm_chunk_cdc": ("doc-local windows + two hash aggs, linear", 1.3),
     "llm_dedup_normalized": ("one scan + 32-byte hash shuffle, linear", 1.3),
+    "q144_stickiness": ("bounded 28x fan-out on collapsed (user,day) grain, linear", 1.3),
+    "llm_quality_ensemble": ("one explode + per-doc agg + rollup, linear", 1.3),
 }
 
 
