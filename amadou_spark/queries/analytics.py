@@ -100,27 +100,44 @@ def q104_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Gini inequality coefficient of order value per "
     "priority class via the rank formula G = (2*SUM(i*x_i) - (n+1)*"
     "SUM(x)) / (n*SUM(x)) over values ranked ascending — how "
-    "concentrated spend is within each class. One window sort "
-    "(partition priority, order value) plus one agg; equal values "
-    "contribute identically under any tie permutation, so the "
-    "orderkey tie-break only pins both engines to the same ranks, "
-    "not the result. The same two-stage shape holds at 100 TB: the "
-    "sort is per-group and spill-safe, the agg map-side combines",
+    "concentrated spend is within each class. The oracle ranks rows "
+    "directly; the Spark side computes the SAME sums scale-safely "
+    "(r5 VERDICT: a rank window keyed on the ~5-value priority column "
+    "sorts n/5 FACT rows per task at 100x): rows collapse to "
+    "per-(priority, distinct price) counts first — prices are a "
+    "2-decimal bounded domain, the q124 shape — and a tie run of c "
+    "rows at cumulative offset C contributes v*(c*C + c*(c+1)/2) to "
+    "SUM(i*x) exactly (consecutive ranks over equal values; the "
+    "orderkey tie-break never changes the sum). The prefix-sum window "
+    "rides the bounded value domain, never row count",
     tags=("stats",),
 )
 def q105_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    r = t["orders"].select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("i"),
+    cnt = t["orders"].groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count("*").cast("bigint").alias("c")
     )
-    n = F.count("*")
-    sx = F.sum("o_totalprice")
-    six = F.sum(F.col("i") * F.col("o_totalprice"))
+    w_prev = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = cnt.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+    )
+    # doubles before multiplying: c*C overflows BIGINT at ~1e10 rows
+    c_d = F.col("c").cast("double")
+    six = F.sum(
+        F.col("o_totalprice")
+        * (
+            c_d * F.col("cum_before").cast("double")
+            + c_d * (c_d + 1.0) / 2.0
+        )
+    )
+    n = F.sum("c")
+    sx = F.sum(F.col("o_totalprice") * c_d)
     return (
-        r.groupBy("o_orderpriority")
+        ranked.groupBy("o_orderpriority")
         .agg(
             n.alias("n_orders"),
             F.round(
@@ -763,28 +780,44 @@ def q117_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r, f, m
     """,
     description="RFM customer segmentation: per-customer recency/"
-    "frequency/monetary rollup from orders, quartile-scored with "
-    "ntile(4) (custkey tie-break pins both engines to identical "
-    "quartile boundaries), then the 4x4x4 segment census with value "
-    "totals — the lifecycle-marketing workhorse. One fact-table agg "
-    "collapses to customer grain before any window; the three ntiles "
-    "share the customer-grain table. At 100 TB the global ntile sort "
-    "is the only non-combining stage and runs on the collapsed grain "
-    "(|customers|, not |orders|)",
+    "frequency/monetary rollup from orders, quartile-scored (custkey "
+    "tie-break pins both engines to identical quartile boundaries), "
+    "then the 4x4x4 segment census with value totals — the lifecycle-"
+    "marketing workhorse. The oracle says ntile(4); the Spark side "
+    "computes the SAME buckets scale-safely (r5 VERDICT: an "
+    "unpartitioned ntile window realizes as Exchange SinglePartition "
+    "+ one-task sort of the whole customer grain): each metric gets a "
+    "two-phase range-partitioned global rank (global_rank — "
+    "distributed sort, per-partition offsets) and the bucket falls "
+    "out of the closed-form ntile sizing (ntile_from_rank). Monetary "
+    "is near-unique per customer, so value-domain collapsing would "
+    "not bound the sort — the range rank is the right 100 TB shape",
     tags=("stats", "windows"),
 )
 def q118_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_tables(spark, sf_dir)
-    rfm = t["orders"].groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("freq"),
-        F.sum("o_totalprice").alias("monetary"),
+    from amadou_spark.scale import (
+        global_rank,
+        materialize_shared,
+        ntile_from_rank,
     )
-    scored = rfm.select(
+
+    t = register_tables(spark, sf_dir)
+    rfm = materialize_shared(
+        t["orders"].groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    total = rfm.agg(F.count("*").cast("bigint").alias("n_total"))
+    ranked = global_rank(rfm, ["last_order", "o_custkey"], "rk_r")
+    ranked = global_rank(ranked, ["freq", "o_custkey"], "rk_f")
+    ranked = global_rank(ranked, ["monetary", "o_custkey"], "rk_m")
+    scored = ranked.crossJoin(F.broadcast(total)).select(
         "monetary",
-        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(4).over(W.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m"),
+        ntile_from_rank("rk_r", "n_total", 4).alias("r"),
+        ntile_from_rank("rk_f", "n_total", 4).alias("f"),
+        ntile_from_rank("rk_m", "n_total", 4).alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")
@@ -886,24 +919,36 @@ def q119_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="market-basket association rules over order baskets: "
     "pair support from the within-order self-join (bounded — baskets "
     "hold a handful of items, so pair fan-out is O(orders x "
-    "items_per_order^2), never |parts|^2), min-support pruning AT the "
-    "pair aggregation (the a-priori trick: HAVING cuts the long tail "
-    "before any further join), then confidence and lift from the "
-    "item-support table joined back. Top-25 by lift via TakeOrdered "
-    "with full tie-breaks",
+    "items_per_order^2), never |parts|^2), with TWO a-priori cuts: "
+    "items below min support are semi-joined OUT of the baskets "
+    "BEFORE the pair self-join (sxy <= min(sx, sy), so no surviving "
+    "pair can contain a sub-threshold item — this shrinks the "
+    "explosion's input, not just its output), and the min-support "
+    "HAVING prunes again at the pair aggregation. Confidence and "
+    "lift from the item-support table joined back; top-25 by lift "
+    "via TakeOrdered with full tie-breaks",
     tags=("stats", "tpch"),
 )
 def q120_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.scale import materialize_shared
 
     t = register_tables(spark, sf_dir)
-    baskets = materialize_shared(
+    all_baskets = materialize_shared(
         t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     )
-    n_orders = baskets.select(
+    n_orders = all_baskets.select(
         F.count_distinct("l_orderkey").alias("n_orders")
     )
-    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    item = all_baskets.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    # a-priori item prune: a pair with support >= 2 needs both items
+    # at support >= 2, so sub-threshold items leave before the
+    # quadratic fan-out (r5 VERDICT #7). Result-identical: the HAVING
+    # below would have dropped every pair these rows could form.
+    baskets = all_baskets.join(
+        item.filter(F.col("s") >= 2).select("l_partkey"),
+        "l_partkey",
+        "left_semi",
+    )
     a, b = baskets.alias("a"), baskets.alias("b")
     pair = (
         a.join(
@@ -1026,33 +1071,46 @@ def q121_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
     """,
     description="EXACT distributed quantiles (p50/p90/p99, lower-rank "
-    "definition) per segment via rank selection: one window ranks "
-    "values within each group, then a conditional agg picks the "
-    "elements at ranks ceil(q*n) — exact, deterministic (custkey "
-    "tie-break), engine-agnostic, unlike percentile_approx (B05) "
-    "whose sketch is engine-specific. One shuffle + per-group sort, "
-    "one agg. At 100 TB groups sort independently and spill-safely; "
-    "for a GLOBAL exact quantile the same shape runs on range-"
-    "partitioned data with partition boundary counts",
+    "definition) per segment via rank selection — exact, "
+    "deterministic, engine-agnostic, unlike percentile_approx (B05) "
+    "whose sketch is engine-specific. The oracle ranks rows directly; "
+    "the Spark side selects the SAME elements scale-safely (r5 "
+    "VERDICT: a rank window keyed on the ~5-value segment column "
+    "sorts n/5 FACT rows per task at 100x): rows collapse to "
+    "per-(segment, distinct balance) counts first — balances are a "
+    "2-decimal bounded domain, the q124 shape — and the element at "
+    "rank ceil(q*n) is the distinct value whose tie run [cum_before+1"
+    ", cum] covers that rank (all tied rows share the value, so the "
+    "custkey tie-break cannot change the selected VALUE). The "
+    "prefix-sum window rides the bounded value domain, never rows",
     tags=("stats",),
 )
 def q122_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    cw = W.partitionBy("c_mktsegment")
-    r = t["customer"].select(
+    cnt = t["customer"].groupBy("c_mktsegment", "c_acctbal").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("c_mktsegment")
+    r = cnt.select(
         "c_mktsegment",
         "c_acctbal",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cw).alias("n"),
-    )
+        F.sum("c").over(w_cum).alias("cum"),
+        F.col("c"),
+        F.sum("c").over(w_all).alias("n"),
+    ).withColumn("cum_before", F.col("cum") - F.col("c"))
 
     def pick(q: float):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
         return F.round(
             F.max(
                 F.when(
-                    F.col("rn")
-                    == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                    (target > F.col("cum_before"))
+                    & (target <= F.col("cum")),
                     F.col("c_acctbal"),
                 )
             ),
@@ -1176,8 +1234,10 @@ def q123_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts first (one hash agg), so the prefix-sum window rides the "
     "value domain, not the row count — for fixed-precision measures "
     "the domain is bounded (~1.1M two-decimal values here) no matter "
-    "how many rows; at 100 TB the ordered pass is a range-partitioned "
-    "sort of that collapsed table",
+    "how many rows. The ordered pass is an UNPARTITIONED window, i.e. "
+    "a single-partition sort — acceptable (and allowlisted in the "
+    "plan-hygiene audit) only because its input is the bounded "
+    "collapsed value table, never raw rows",
     tags=("stats",),
 )
 def q124_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,19 +1706,30 @@ def q130_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), km AS (
             SELECT t, d, n_risk,
                    -- when d = n_risk the factor is 0 and S hits exactly
-                   -- 0 (log trick breaks): carry a cumulative zero flag
+                   -- 0 (log trick breaks): carry a cumulative zero flag.
+                   -- ENGINE STABILITY (r5 driver red): exp/ln are not
+                   -- correctly-rounded, so different libm builds put
+                   -- exp(sum(ln)) on different sides of a ROUND(x,6)
+                   -- tie (4/11 rows at sf0.01 sit within 5e-11 of one).
+                   -- Fix = the q126 pattern: floor-half-up the LOG-SUM
+                   -- to 9 decimals first (absorbs 1-ulp ln + sum-order
+                   -- noise and pins exp's input bit-identically), then
+                   -- floor-half-up the survival — pure +-*/ arithmetic,
+                   -- deterministic on identical bits in both engines.
                    CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
                              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
                                    PRECEDING AND CURRENT ROW) = 1
                         THEN 0.0
-                        ELSE EXP(SUM(CASE WHEN d < n_risk THEN
+                        ELSE EXP(FLOOR(SUM(CASE WHEN d < n_risk THEN
                                  LN(1.0 - d / CAST(n_risk AS DOUBLE)) END)
                              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
-                                   PRECEDING AND CURRENT ROW))
+                                   PRECEDING AND CURRENT ROW)
+                             * 1000000000.0 + 0.5) / 1000000000.0)
                    END AS s
             FROM at_risk
         )
-        SELECT t AS day, n_risk, d AS n_events, ROUND(s, 6) AS survival
+        SELECT t AS day, n_risk, d AS n_events,
+               FLOOR(s * 1000000.0 + 0.5) / 1000000.0 AS survival
         FROM km WHERE d > 0 ORDER BY t
     """,
     description="Kaplan-Meier survival curve for time-to-first-purchase "
@@ -1669,7 +1740,12 @@ def q130_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the survival product (computed as exp of a running sum of logs — "
     "windows cannot multiply) ride the DURATION DOMAIN, which is "
     "bounded by the observation window in days no matter how many "
-    "users. The single-partition window is over that tiny grid only",
+    "users. The single-partition window is over that tiny grid only. "
+    "Engine stability: the log-sum is floor-half-up rounded to 9 "
+    "decimals BEFORE exp and the survival floor-half-up rounded after "
+    "(the q126 pattern) — exp/ln differ by 1 ulp across libm builds, "
+    "and at sf0.01 four survival values sit within 5e-11 of a "
+    "ROUND(x,6) tie, so plain ROUND diverges between engines",
     tags=("stats", "timeseries", "events"),
 )
 def q131_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1715,17 +1791,24 @@ def q131_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == 1,
                 F.lit(0.0),
             ).otherwise(
+                # engine-stable: floor-half-up the log-sum to 9 decimals
+                # before exp (see oracle comment / q126 pattern)
                 F.exp(
-                    F.sum(
-                        F.when(
-                            F.col("d") < F.col("n_risk"),
-                            F.log(
-                                1.0
-                                - F.col("d")
-                                / F.col("n_risk").cast("double")
-                            ),
-                        )
-                    ).over(w_cum)
+                    F.floor(
+                        F.sum(
+                            F.when(
+                                F.col("d") < F.col("n_risk"),
+                                F.log(
+                                    1.0
+                                    - F.col("d")
+                                    / F.col("n_risk").cast("double")
+                                ),
+                            )
+                        ).over(w_cum)
+                        * 1000000000.0
+                        + 0.5
+                    )
+                    / 1000000000.0
                 )
             ),
         )
@@ -1736,7 +1819,9 @@ def q131_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("day"),
             "n_risk",
             F.col("d").alias("n_events"),
-            F.round("s", 6).alias("survival"),
+            (F.floor(F.col("s") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "survival"
+            ),
         )
         .orderBy("day")
     )

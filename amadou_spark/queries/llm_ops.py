@@ -1862,12 +1862,17 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="CCNet-style perplexity bucketing: per-language "
     "head/middle/tail terciles of the bigram-LM quality score — the "
     "partition CCNet/RedPajama use to stratify web text by fluency "
-    "before sampling. Buckets come from ntile(3) per language over "
-    "the ROUNDED score (ties broken by doc_id, so bucket assignment "
-    "is deterministic and engine-portable); the score pipeline is the "
-    "same exact-count shape as llm_quality_bigram_logprob. The ntile "
-    "sort rides per-language partitions — bounded independent sorts "
-    "at any corpus size",
+    "before sampling. The oracle says ntile(3) per language (doc_id "
+    "tie-break); the Spark side computes the SAME tercile census "
+    "scale-safely (r5 ADVICE: with a handful of languages the ntile "
+    "window sorts n/|langs| DOC rows per task at 100x): docs collapse "
+    "to per-(lang, distinct 4-decimal score) counts — a bounded value "
+    "domain, the q124 shape — then each tie run is split across the "
+    "ntile boundary grid by prefix-sum overlap arithmetic. All docs "
+    "in a run share the score, so the doc_id tie-break can only "
+    "decide WHICH doc crosses a boundary, never the per-bucket "
+    "counts or score stats this query emits. The prefix-sum window "
+    "rides the (lang, score) domain, never doc count",
     tags=("llm", "text", "quality"),
 )
 def llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1876,15 +1881,46 @@ def llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("avg_neg_logprob").alias("s")
     )
     docs = t["documents"].select("doc_id", "lang")
-    w = W.partitionBy("lang").orderBy("s", "doc_id")
-    bucketed = score.join(docs, "doc_id").select(
-        "lang", "s", F.ntile(3).over(w).alias("bucket")
+    cnt = (
+        score.join(docs, "doc_id")
+        .groupBy("lang", "s")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
+    w_cum = (
+        W.partitionBy("lang")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("lang")
+    g = cnt.select(
+        "lang",
+        "s",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    ).withColumn("cum_before", F.col("cum") - F.col("c"))
+    # SQL-standard ntile(3) boundary grid: first n%3 buckets hold one
+    # extra row; bucket i covers global ranks (lo_i, hi_i]
+    b = g.select(
+        "*",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("bucket"),
+    )
+    q = F.floor(F.col("n") / 3).cast("bigint")
+    r = (F.col("n") % 3).cast("bigint")
+    bk = F.col("bucket").cast("bigint")
+    hi = bk * q + F.least(bk, r)
+    lo = (bk - 1) * q + F.least(bk - 1, r)
+    overlap = F.least(hi, F.col("cum")) - F.greatest(
+        lo, F.col("cum_before")
+    )
+    split = b.withColumn("k", overlap).filter(F.col("k") > 0)
     return (
-        bucketed.groupBy("lang", "bucket")
+        split.groupBy("lang", "bucket")
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.avg("s"), 4).alias("mean_score"),
+            F.sum("k").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("s") * F.col("k")) / F.sum("k"), 4
+            ).alias("mean_score"),
             F.round(F.min("s"), 4).alias("min_score"),
             F.round(F.max("s"), 4).alias("max_score"),
         )

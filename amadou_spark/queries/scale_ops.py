@@ -136,8 +136,10 @@ def q95_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name ORDER BY n_name
     """,
     description="Bloom-filter runtime pruning (scale.py bloom_prune): "
-    "a portable md5-hashed bloom bitmap (128x64-bit words, 3 hashes) "
-    "is built over the selective supplier key set and broadcast; "
+    "a portable md5-hashed bloom bitmap (3 hashes, sized from the "
+    "actual dim-key count at ~12 bits/key so it never saturates, "
+    "capped at 8 MiB) is built over the selective supplier key set "
+    "and broadcast; "
     "lineitem probes it with pure-JVM word/bit arithmetic BEFORE the "
     "join, so rows that would die in the join are dropped before the "
     "exchange. Bloom false positives are removed by the exact join "

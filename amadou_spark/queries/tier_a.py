@@ -506,15 +506,24 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pos
     """,
     description="explicit NULLS FIRST ordering materialized as a position column "
-    "[R: default null order differs Spark(asc=NULLS FIRST) vs DuckDB(NULLS LAST)]",
+    "[R: default null order differs Spark(asc=NULLS FIRST) vs DuckDB(NULLS LAST)]. "
+    "The position is a two-phase range-partitioned global rank "
+    "(scale.global_rank) — an unpartitioned row_number window would "
+    "execute as an Exchange SinglePartition one-task sort of the "
+    "whole table (r5 VERDICT #4); Spark's default ascending order is "
+    "NULLS FIRST in both repartitionByRange and window sorts, so the "
+    "rank realizes exactly the declared null placement",
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import global_rank
+
     t = register_tables(spark, sf_dir)
-    w = W.orderBy(F.col("seg").asc_nulls_first(), "c_custkey")
+    base = t["customer"].select(
+        "c_custkey", nullify(F.col("c_mktsegment")).alias("seg")
+    )
     return (
-        t["customer"]
-        .select("c_custkey", nullify(F.col("c_mktsegment")).alias("seg"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        global_rank(base, ["seg", "c_custkey"], "pos")
+        .select("c_custkey", "seg", "pos")
         .orderBy("pos")
     )
 

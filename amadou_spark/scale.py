@@ -34,6 +34,89 @@ def materialize_shared(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True) if has_dir else df.localCheckpoint()
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_name: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed GLOBAL dense row-number over ``order_cols`` (which
+    must form a total order — include a unique tie-break column) via
+    the classic two-phase range sort, never an
+    ``Exchange SinglePartition``:
+
+    1. ``repartitionByRange`` on the sort key (range exchange: each
+       partition holds one contiguous key range, ranges ascend with
+       partition index — this is how Spark's own global ORDER BY
+       distributes) and pin the partition ids by materializing once
+       (the id column must agree between the offset table and the
+       rank pass, and lazy re-evaluation could re-sample boundaries).
+    2. Per-partition row counts (a #partitions-row aggregate) become
+       starting offsets with a driver-side prefix sum — the same
+       bounded control collect RDD.zipWithIndex performs; never a
+       data-sized action.
+    3. rank = offset(partition) + row_number within the partition.
+
+    Correct for ANY boundary placement the range sampler picks, so the
+    sampler's nondeterminism never reaches the result. Cost: one range
+    exchange + one hash exchange of the data and a broadcast of the
+    #partitions-row offset table — the price of a global rank without
+    collapsing to a single task (never an Exchange SinglePartition).
+    Use when the rank key's value domain is unbounded; for bounded
+    domains prefer collapsing to per-distinct-value counts (the q124
+    shape) which is cheaper.
+    """
+    from pyspark.sql import Window as W
+
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(n, *order_cols)
+    pinned = materialize_shared(
+        ranged.withColumn("_gr_pid", F.spark_partition_id())
+    )
+    counts = pinned.groupBy("_gr_pid").agg(F.count("*").alias("_gr_c"))
+    cum = 0
+    offset_rows = []
+    for row in sorted(counts.collect(), key=lambda r: r["_gr_pid"]):
+        offset_rows.append((row["_gr_pid"], cum))
+        cum += row["_gr_c"]
+    offsets = df.sparkSession.createDataFrame(
+        offset_rows or [(0, 0)], "_gr_pid int, _gr_off bigint"
+    )
+    w_loc = W.partitionBy("_gr_pid").orderBy(*order_cols)
+    return (
+        pinned.join(F.broadcast(offsets), "_gr_pid")
+        .withColumn(
+            rank_name,
+            (F.col("_gr_off") + F.row_number().over(w_loc)).cast("bigint"),
+        )
+        .drop("_gr_pid", "_gr_off")
+    )
+
+
+def ntile_from_rank(rank_col, n_col, k: int):
+    """SQL-standard ``ntile(k)`` bucket as a closed-form expression of
+    a (1-based, gap-free) global rank and the total row count: the
+    first ``n % k`` buckets hold ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)`` — exactly Spark's and DuckDB's ntile sizing. Lets a
+    distributed global rank (``global_rank`` / value-domain prefix
+    sums) replace an unpartitioned ``ntile(k)`` window, which Spark
+    realizes as an Exchange SinglePartition + one-task sort.
+
+    All integer arithmetic; the ``q == 0`` division guard is the lazy
+    CASE branch (when ``n < k`` every rank satisfies the first branch,
+    ``bucket = rank``)."""
+    rn = F.col(rank_col) if isinstance(rank_col, str) else rank_col
+    n = F.col(n_col) if isinstance(n_col, str) else n_col
+    q = F.floor(n / k).cast("bigint")
+    r = (n % k).cast("bigint")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    return F.when(
+        rn <= big, F.floor((rn + q) / (q + 1))  # ceil(rn / (q+1))
+    ).otherwise(r + F.floor((rn - big + q - 1) / q)).cast("int")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -130,7 +213,7 @@ def bloom_prune(
     dim_keys: DataFrame,
     fact_key: str,
     dim_key: str,
-    n_bits: int = 8192,
+    n_bits: int | None = None,
     n_hashes: int = 3,
 ) -> DataFrame:
     """Pre-filter ``fact`` with a Bloom filter built over ``dim_keys``
@@ -148,12 +231,31 @@ def bloom_prune(
     probe, no Python, no shuffle.
 
     Semantics: strictly a superset filter (Bloom false positives
-    remain), so the downstream exact join is unchanged — results are
-    bit-identical with or without pruning. The win at 100 TB: the
-    fact rows that would die in the join are dropped BEFORE the
-    exchange, cutting shuffle volume by the dim selectivity (the same
-    reason Spark's own runtime row-group filtering exists).
+    remain; NULL fact keys pass through untouched — a superset filter
+    may never drop rows an outer join would keep), so the downstream
+    exact join is unchanged — results are bit-identical with or
+    without pruning. The win at 100 TB: the fact rows that would die
+    in the join are dropped BEFORE the exchange, cutting shuffle
+    volume by the dim selectivity (the same reason Spark's own
+    runtime row-group filtering exists).
+
+    Sizing: with ``n_bits=None`` (default) the filter is sized from
+    the ACTUAL distinct dim-key count — one count() control action at
+    build time, the same price Spark's own runtime filters pay — at
+    ~12 bits/key (fpp ~2% with 3 hashes), rounded up to a power of
+    two, capped at 2^26 bits = 8 MiB of broadcast. A fixed n_bits
+    saturates silently once keys exceed ~n_bits/12 (fpp -> 1, zero
+    pruning), which is why the default is no longer a constant.
+    NULL dim keys are dropped before hashing: a NULL key matches no
+    equi-join row, and md5(NULL) would otherwise poison the position
+    map with a NULL map key (runtime crash in map_from_entries).
     """
+    dim_nn = dim_keys.filter(F.col(dim_key).isNotNull())
+    if n_bits is None:
+        n_keys = max(dim_nn.select(dim_key).distinct().count(), 1)
+        n_bits = 8192
+        while n_bits < n_keys * 12 and n_bits < (1 << 26):
+            n_bits *= 2
     pos_cols = []
     key_str = F.col(dim_key).cast("string")
     for i in range(n_hashes):
@@ -163,7 +265,7 @@ def bloom_prune(
             10,
         ).cast("bigint")
         pos_cols.append(F.pmod(hv, F.lit(n_bits)))
-    positions = dim_keys.select(
+    positions = dim_nn.select(
         F.explode(F.array(*pos_cols)).alias("pos")
     )
     words = (
@@ -200,4 +302,8 @@ def bloom_prune(
             f" & shiftleft(CAST(1 AS BIGINT), CAST({pcol} % 64 AS INT)) != 0"
         )
         cond = hit if cond is None else (cond & hit)
-    return probed.filter(cond).drop("bloom", *pcols)
+    # NULL fact keys: every position is NULL, so `cond` is NULL — keep
+    # the row (superset semantics for outer-join callers)
+    return probed.filter(
+        F.col(fact_key).isNull() | cond
+    ).drop("bloom", *pcols)

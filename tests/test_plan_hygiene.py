@@ -107,6 +107,51 @@ def test_graph_wedge_joins_are_equi(spark, sf_dir, name):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan         or "BroadcastHashJoin" in plan
 
 
+def test_no_single_partition_sorts_outside_allowlist(spark, sf_dir):
+    """r5 VERDICT #3: an unpartitioned window/global rank executes as
+    `Exchange SinglePartition` + a ONE-TASK sort of its whole input —
+    invisible to local benches and linear scale probes (single-task
+    time scales linearly too; the failure mode is lost parallelism and
+    per-task memory at cluster scale). This sweep builds every registry
+    query's physical plan and fails on any SinglePartition exchange
+    feeding a Sort/Window, except the enumerated allowlist of
+    provably-BOUNDED grains (value-domain tables, duration grids,
+    bounded histogram tables — see tools/plans.SP_ALLOWLIST). This is
+    the detector whose absence let llm_curriculum_order's docs claim a
+    range-partitioned plan its executed plan did not have."""
+    from tools.plans import SP_ALLOWLIST, single_partition_sort_exchanges
+
+    _load()
+    bad: dict[str, list[str]] = {}
+    for name, q in REGISTRY.items():
+        if name in SP_ALLOWLIST:
+            continue
+        df = q.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = single_partition_sort_exchanges(plan)
+        if hits:
+            bad[name] = hits
+    assert not bad, f"unallowlisted SinglePartition sorts: {bad}"
+
+
+def test_allowlisted_single_partition_queries_still_flag(spark, sf_dir):
+    """The allowlist entries must stay HONEST: each names a query whose
+    plan really does contain a SinglePartition sort/window (over its
+    documented bounded grain). If a rewrite removes the pattern, the
+    entry must be deleted — a stale allowlist would mask a future
+    regression on that query."""
+    from tools.plans import SP_ALLOWLIST, single_partition_sort_exchanges
+
+    _load()
+    for name in SP_ALLOWLIST:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert single_partition_sort_exchanges(plan), (
+            f"{name} is allowlisted but its plan has no SinglePartition "
+            "sort — remove the stale entry"
+        )
+
+
 def test_date_partition_pruning_reaches_scan(spark, tmp_path):
     """A date filter over a date-partitioned table must become a
     PartitionFilters entry on the scan (directory pruning — at 100 TB

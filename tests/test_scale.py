@@ -189,3 +189,35 @@ def test_bloom_prune_drops_nonmatching_rows_and_keeps_all_matches(spark, sf_dir)
     # real pruning: strictly fewer rows than the raw fact (the dim
     # filter is selective in every sf fixture), superset of matches
     assert n_match <= n_pruned < n_fact
+
+
+def test_bloom_prune_null_keys_and_autosizing(spark):
+    """r5 ADVICE: (a) a NULL dim key must not crash the build (it
+    previously became a NULL map key — runtime error in
+    map_from_entries) and must simply be ignored; (b) NULL fact keys
+    pass through (superset semantics for outer-join callers); (c) the
+    default filter is sized from the dim count, so a dim set far
+    beyond the old fixed 8192 bits still prunes instead of
+    saturating to fpp~1."""
+    from amadou_spark.scale import bloom_prune
+
+    dim = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k int"
+    ).select(F.col("k").alias("dk"))
+    fact = spark.createDataFrame(
+        [(1, "a"), (3, "b"), (None, "c")], "fk int, v string"
+    )
+    got = bloom_prune(fact, dim, "fk", "dk")
+    rows = {(r.fk, r.v) for r in got.collect()}
+    assert (1, "a") in rows  # match kept
+    assert (None, "c") in rows  # NULL fact key passes through
+    # (3, 'b') may survive only as a bloom false positive — with 2
+    # keys in 8192 bits fpp is ~1e-9, so it is gone in practice
+    assert (3, "b") not in rows
+
+    # auto-sizing: 60k keys >> old 8192-bit default; disjoint probe
+    # set must still be pruned hard (saturated filter would keep all)
+    big_dim = spark.range(60_000).select(F.col("id").alias("dk"))
+    probe = spark.range(200_000, 230_000).select(F.col("id").alias("fk"))
+    kept = bloom_prune(probe, big_dim, "fk", "dk").count()
+    assert kept < 3_000  # fpp ~2% at 12 bits/key; saturation => 30k

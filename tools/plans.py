@@ -72,7 +72,7 @@ REVIEW = {
     "llm_semantic_dedup": "centroids = posexplode agg to |clusters| rows, broadcast back; pairwise form never materialized; tau-ball canonicalization is one window per cluster",
     "llm_token_entropy": "(doc_id, tok) partial-agg then per-doc fold — counter pairs only, text never shuffles",
     "llm_quality_gopher": "every rule rides ONE explode + one map-side-combined agg; per-doc counters only",
-    "llm_curriculum_order": "single window over (difficulty, hash); at scale realized as range-partition + sortWithinPartitions on the same key",
+    "llm_curriculum_order": "decile rank = prefix sum over the bounded token-length histogram + per-length row_number; position = prefix sum over <=9970 (decile,hash) groups + per-group row_number — no document-grain SinglePartition sort (r6 rewrite)",
     "llm_bpe_encode": "encode = the learn loop's final vocab projected to symbol sequences: O(distinct words), corpus re-tokenization is a join against this table",
     "llm_kmeans": "assignment = pure per-row codegen (array_min over k literal-centroid distance structs) — no join/shuffle/UDF; the per-round update shuffles only (cluster, dim, partial-mean) scalar triples",
     "llm_random_projection": "16 zip_with folds over literal sign rows: zero shuffle, zero Python; the only exchange is the final orderBy (gate-only)",
@@ -80,12 +80,12 @@ REVIEW = {
     "q102_sssp": "per-round frontier equi-join + map-side-combined min agg; frontier restriction keeps round cost at O(improved edges), never O(E)",
     "q103_feature_pack": "seven features, ONE Window operator, one shuffle+sort on (user_id | ts,event_id); the only other exchange is the gate's final orderBy",
     "q104_autocorr": "daily rollup collapses events before anything else; lags + 3 corr aggs run on the O(days x types) remnant — one window sort, one final agg",
-    "q105_gini": "one window sort per priority group (rank), one map-side-combined moment agg; no joins",
+    "q105_gini": "rows collapse to per-(priority, distinct price) counts; tie-run rank sums computed in closed form off a value-domain prefix sum — no fact-grain rank window (r6 rewrite)",
     "q106_cusum_changepoint": "rollup->mean->cumsum subtree materialized ONCE (eager cut — peak agg + argmax join both read it); 8 exchanges total, all on day-grain rows",
     "q107_corr_matrix": "all 6 corr() aggregates fused into ONE scan + one ObjectHashAggregate; stack() unpivots the 1-row result driver-free",
     "q108_hhi_concentration": "lineitem aggregated FIRST (supplier broadcast); share-of-total joins are all dimension-sized broadcasts",
     "q109_rolling_anomaly": "mean/std/count ride ONE window frame (20 PRECEDING..1 PRECEDING) — one shuffle on user_id, streaming frame eval, filter before output sort",
-    "q110_bloom_pruned_join": "bloom build = explode -> word bit_or (map-side) -> 1-row map broadcast; fact probe is pure codegen word/bit arithmetic BEFORE the join exchange",
+    "q110_bloom_pruned_join": "bloom build = explode -> word bit_or (map-side) -> 1-row map broadcast, sized from the actual dim count (no saturation); fact probe is pure codegen word/bit arithmetic BEFORE the join exchange",
     "q111_fuzzy_name_pairs": "distinct entity table first; quadratic levenshtein confined within first-token blocks of the DISTINCT names",
     "q112_assortativity": "edge-linear: degree table broadcast onto the symmetrized edge list, ONE corr agg; no wedge materialization",
     "q113_zipf_fit": "token count map-side combined; top-500 via TakeOrderedAndProject; regression on 500 rows",
@@ -93,13 +93,13 @@ REVIEW = {
     "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle",
     "q116_bitmap_intersection": "bitmap (type,bucket)->word table materialized once; pair overlap = bucket equi-join + bit_count sum, 64x smaller than distinct pairs",
     "q117_seasonal_index": "daily rollup is the only pass over raw events; per-type base joins back as a broadcast",
-    "q118_rfm_segments": "orders collapse to customer grain before any window; three ntile sorts run on the collapsed grain",
+    "q118_rfm_segments": "orders collapse to customer grain, then THREE two-phase range-partitioned global ranks (global_rank) + closed-form ntile sizing — no Exchange SinglePartition (r6 rewrite; the old unpartitioned ntiles were one-task sorts)",
     "q119_rolling_distinct": "rolling 7d COUNT DISTINCT without a range join: (user,day) grain materialized once, bounded 7x sequence() fan-out, day list broadcast semi-join, one distinct agg",
-    "q120_association_rules": "basket table materialized once feeds pair/item/total; min-support HAVING prunes at the pair agg (a-priori) before any join; supports broadcast back; top-25 by lift",
+    "q120_association_rules": "basket table materialized once feeds pair/item/total; a-priori ITEM prune semi-joins sub-threshold items out BEFORE the pair self-join (r6), min-support HAVING prunes again at the pair agg; supports broadcast back; top-25 by lift",
     "q121_snaive_backtest": "forecast = lag(7) so backtest is daily rollup + ONE window + one agg — zero joins",
-    "q122_exact_quantiles": "rank-selection exact quantiles: row_number and count windows share one exchange+sort; conditional agg picks ranks — no per-quantile passes",
+    "q122_exact_quantiles": "rows collapse to per-(segment, distinct balance) counts; rank selection reads the tie run covering ceil(q*n) off a value-domain prefix sum — no fact-grain rank window (r6 rewrite)",
     "q123_chi_square": "one hash agg builds the contingency table; marginals are category-bounded broadcasts; chi2 sum rides the |S|x|K| cell grain",
-    "q124_ks_test": "rows collapse to per-distinct-value counts before the prefix-sum window — the ordered pass rides the value domain, not row count",
+    "q124_ks_test": "rows collapse to per-distinct-value counts before the prefix-sum window — the ordered pass is a SinglePartition window, allowlisted ONLY because its input is the bounded value domain, never raw rows",
     "q125_benford": "digit from BIGINT string head (no float log10 at power-of-ten edges); one projection + 9-bucket agg, embarrassingly parallel",
     "q126_ewma": "bounded 8-weight exponential window over the daily rollup — no recursion; weights embedded as identical double literals both engines",
     "q127_attribution": "single user_id-partitioned window (last ignorenulls carry-forward) = one shuffle; oracle pins semantics via gaps-and-islands",
@@ -107,11 +107,11 @@ REVIEW = {
     "q128_twap": "lead window and rollup both ride the (type,day) partitioning; interval math in exact BIGINT micros",
     "q129_max_drawdown": "events collapse to (type,day) before the cumulative-max window; one shuffle each for rollup and window",
     "q130_target_encoding": "LOO as arithmetic on group totals (no window); fact-dim join unhinted, category-bounded sums broadcast back; TakeOrdered top-100",
-    "q131_kaplan_meier": "events -> per-user row -> per-distinct-duration grid; survival product and at-risk prefix sums ride the bounded duration domain",
+    "q131_kaplan_meier": "events -> per-user row -> per-distinct-duration grid; survival product and at-risk prefix sums ride the bounded duration domain; log-sum floor-rounded before exp (engine-stable, r6)",
     "q132_wilson_ci": "one distinct-count agg per day, then closed-form interval arithmetic — no resampling, no UDF",
     "q133_pareto_8020": "per-part revenue rounded to cents BEFORE ranking (bit-identical cum ordering both engines); cumulative window partitioned per brand, never global",
     "q134_path_trigrams": "one user-partitioned window makes trigrams; exact counts with map-side combine; top-20 via TakeOrdered",
-    "llm_quality_ppl_buckets": "bigram-score pipeline + per-language ntile(3) — bounded independent sorts per language",
+    "llm_quality_ppl_buckets": "bigram-score pipeline collapses to per-(lang, 4-decimal score) counts; tercile census from boundary-overlap arithmetic on a value-domain prefix sum — no doc-grain ntile window (r6 rewrite)",
     "q135_decompose": "daily rollup is the only raw pass; centered trend window rides (type,day) partitions; SUM/7 not AVG so both engines fold the same 7 doubles",
     "q136_reconciliation": "one lineitem hash agg + one key join, both shuffle on the order key; MAX not AVG keeps output independent of float sum order",
     "q137_funnel_regex": "one shuffle on (user,day) builds ordered event strings; the subsequence pattern is a local ANSI LIKE scan — no joins, no regex dialect",
@@ -128,6 +128,48 @@ REVIEW = {
     "q144_stickiness": "DAU and MAU both derive from the materialized distinct (user,day) grain; MAU via bounded 28x sequence() fan-out, no range join",
     "llm_quality_ensemble": "one explode + one per-doc agg + one rollup; gates are integer/ratio arithmetic far from float boundaries",
 }
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a plan line in executedPlan().toString() output.
+
+    Spark renders children with 3-char ladder segments (`+- `, `:- `,
+    `:  `, `   `) before the operator name; the marker offset is the
+    depth. Root lines (no marker) are depth -1 so any child nests
+    under them."""
+    m = re.search(r"(\+-|:-) ", line)
+    return m.start() if m else -1
+
+
+def single_partition_sort_exchanges(plan: str) -> list[str]:
+    """Scale-killer detector (r5 VERDICT #3 — the blind spot that let a
+    documented 'range-partitioned' plan ship as a one-task sort):
+    return the parent operator line for every `Exchange SinglePartition`
+    that feeds a Sort or Window, i.e. a GLOBAL one-task sort of its
+    input. Benign SinglePartition exchanges — the final leg of a global
+    aggregate (input = one partial-agg row per partition) or a
+    CollectLimit — have aggregate/limit parents and are not returned.
+    Whether a flagged exchange is acceptable depends on its INPUT being
+    a bounded grain (a value-domain table, a #partitions-row offset
+    table); callers keep that allowlist."""
+    lines = plan.splitlines()
+    flagged = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = _depth(line)
+        parent = None
+        for j in range(i - 1, -1, -1):
+            pd = _depth(lines[j])
+            if pd < d:
+                parent = lines[j]
+                d = pd  # keep climbing only through tighter ancestors
+                # nearest ancestor is enough: Sort directly consumes
+                # the exchange when a Window/global sort is realized
+                break
+        if parent is not None and re.search(r"\b(Sort|Window)\b", parent):
+            flagged.append(parent.strip())
+    return flagged
 
 
 def facts(plan: str) -> list[str]:
@@ -151,10 +193,63 @@ def facts(plan: str) -> list[str]:
             out.append(f"- {n}× {label}")
     n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
     out.append(f"- {n_ex} exchange(s) (shuffle boundaries) in the final plan")
+    sp = single_partition_sort_exchanges(plan)
+    if sp:
+        out.append(
+            f"- ⚠ {len(sp)} SinglePartition exchange(s) feeding a "
+            f"Sort/Window (one-task sort — must ride a bounded grain): "
+            f"`{sp[0][:90]}`"
+        )
     return out
 
 
+#: Queries whose SinglePartition sort/window exchanges ride a PROVABLY
+#: BOUNDED grain — input row count bounded by a value/config domain,
+#: independent of data size. Every other registry entry must plan with
+#: zero SinglePartition sort/window exchanges (tests/test_plan_hygiene).
+SP_ALLOWLIST: dict[str, str] = {
+    # value-domain prefix sums (q124 shape): input = distinct measure
+    # values, bounded by the measure's fixed precision
+    "q124_ks_test": "collapsed 2-decimal acctbal value domain",
+    # duration grid: one row per distinct day-count, bounded by the
+    # observation window
+    "q131_kaplan_meier": "per-distinct-duration grid (days)",
+    # bounded histogram / group-count tables feeding rank offsets
+    "llm_curriculum_order": "token-length histogram + <=9970 (decile,hash) groups",
+}
+
+
+def sp_audit(sf: str = "/root/testdata/sf0.001") -> dict[str, list[str]]:
+    """Build every registry query's physical plan and return
+    {name: [offending parent ops]} for all SinglePartition sort/window
+    exchanges found OUTSIDE the allowlist."""
+    spark = get_spark("sp-audit")
+    _load()
+    bad: dict[str, list[str]] = {}
+    for name, q in REGISTRY.items():
+        if name in SP_ALLOWLIST:
+            continue
+        try:
+            df = q.fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # audit must name the query
+            bad[name] = [f"plan build failed: {exc}"]
+            continue
+        hits = single_partition_sort_exchanges(plan)
+        if hits:
+            bad[name] = hits
+    return bad
+
+
 def main() -> None:
+    if "--sp-audit" in sys.argv:
+        bad = sp_audit()
+        for name, hits in sorted(bad.items()):
+            print(f"{name}:")
+            for h in hits:
+                print(f"  {h}")
+        print(f"{len(bad)} quer(ies) with unallowlisted SinglePartition sorts")
+        raise SystemExit(1 if bad else 0)
     spark = get_spark("plans")
     _load()
     sf = "/root/testdata/sf0.01"
