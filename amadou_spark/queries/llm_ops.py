@@ -2053,11 +2053,17 @@ def llm_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_normalized",
     oracle="""
-        WITH canon AS (
+        WITH docs_plus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000000,
+                   upper(text) || ' !!'
+            FROM documents WHERE doc_id % 100 = 0
+        ), canon AS (
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(lower(text),
                         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c
-            FROM documents
+            FROM docs_plus
         ), grouped AS (
             SELECT md5(c) AS chash,
                    CAST(count(*) AS BIGINT) AS n_docs,
@@ -2076,11 +2082,21 @@ def llm_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JVM/engine-native regex chain on one scan; only the 32-byte "
     "canonical hash shuffles (never the text), exactly the "
     "llm_dedup_exact scale posture. First normalization pass of the "
-    "C4/CCNet pipelines",
+    "C4/CCNet pipelines. Oracle de-vacuation (r5 VERDICT #6): the "
+    "synthetic sf0.01 corpus has NO normalization-only duplicates, so "
+    "the hash gate used to compare two empty sets — both engines now "
+    "union a deterministic planted slice (every 100th doc re-emitted "
+    "uppercased with trailing punctuation, shifted id) so the gate "
+    "exercises the collapse on non-empty output",
     tags=("llm", "dedup", "text"),
 )
 def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 100000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
     canon = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
@@ -2089,7 +2105,7 @@ def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        t["documents"]
+        base.unionAll(planted)
         .select("doc_id", F.md5(canon).alias("chash"))
         .groupBy("chash")
         .agg(

@@ -22,6 +22,14 @@ matters is that per-replica data properties match sf0.1 exactly):
   distributions match sf0.1 while corpus volume is 10x. (Verbatim
   replication would instead create 10-way duplicate clusters
   everywhere — a 100x-harder, distribution-breaking workload.)
+- ``events``: 10 user- and event-id-shifted replicas with timestamps
+  UNCHANGED — 10x users over the same observation window, so daily
+  rollups get 10x rows per day, per-user histories keep their sf0.1
+  shape, and duration/day value domains stay bounded (exactly how a
+  bigger install scales). Added in r6: the r5 probe symlinked events,
+  so the six events-only ops measured exponent ~0 vacuously.
+- ``customer`` / ``orders``: key-shifted replicas (custkey offsets
+  aligned across the two tables) — same value domains, 10x rows.
 - every other table: symlink to the sf0.1 file (register_tables loads
   all of them; the probed ops don't read them).
 
@@ -97,25 +105,83 @@ EXPECTED = {
     "llm_dedup_normalized": ("one scan + 32-byte hash shuffle, linear", 1.3),
     "q144_stickiness": ("bounded 28x fan-out on collapsed (user,day) grain, linear", 1.3),
     "llm_quality_ensemble": ("one explode + per-doc agg + rollup, linear", 1.3),
+    # r6: the rank-window rewrites — measured evidence that the
+    # SinglePartition fixes scale the way their plans claim
+    "q105_gini": ("value-domain collapse + per-priority prefix sums, linear", 1.3),
+    "q118_rfm_segments": ("three two-phase range-rank passes, linear", 1.3),
+    "q122_exact_quantiles": ("value-domain collapse + rank selection, linear", 1.3),
+    "llm_curriculum_order": ("length histogram + bounded group offsets, linear", 1.3),
 }
 
 
 def build_sf1(spark, replicas: int) -> dict:
     """Synthesize the sf1 slice under PROBE_DIR; idempotent per layout
     version (a marker file records the replica count)."""
-    marker = os.path.join(PROBE_DIR, f".built_v2_r{replicas}")
+    marker = os.path.join(PROBE_DIR, f".built_v3_r{replicas}")
     if os.path.exists(marker):
         return json.load(open(marker))
     os.makedirs(PROBE_DIR, exist_ok=True)
 
     from amadou_spark.contracts import TABLE_NAMES
 
+    replicated = (
+        "lineitem",
+        "documents",
+        "embeddings",
+        "events",
+        "customer",
+        "orders",
+    )
     for t in TABLE_NAMES:
-        if t in ("lineitem", "documents", "embeddings"):
+        if t in replicated:
+            # layout v2 symlinked events/customer/orders — replace
+            dst = os.path.join(PROBE_DIR, f"{t}.parquet")
+            if os.path.islink(dst):
+                os.unlink(dst)
             continue
         dst = os.path.join(PROBE_DIR, f"{t}.parquet")
         if not os.path.lexists(dst):
             os.symlink(os.path.join(SF01, f"{t}.parquet"), dst)
+
+    def _rep(df, shifts: dict):
+        """Key-shifted disjoint replicas: shifted cols get
+        +r*offset, everything else is copied verbatim."""
+        return df.crossJoin(
+            spark.range(replicas).select(
+                F.col("id").cast("bigint").alias("_r")
+            )
+        ).select(
+            *[
+                (F.col(c) + F.col("_r") * shifts[c]).alias(c)
+                if c in shifts
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    mx_ev = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    rep_ev = _rep(
+        ev, {"event_id": int(mx_ev[0]) + 1, "user_id": int(mx_ev[1]) + 1}
+    )
+    rep_ev.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "events.parquet")
+    )
+
+    cu = spark.read.parquet(os.path.join(SF01, "customer.parquet"))
+    off_c = int(cu.agg(F.max("c_custkey")).collect()[0][0]) + 1
+    _rep(cu, {"c_custkey": off_c}).write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "customer.parquet")
+    )
+
+    od = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
+    off_ok = int(od.agg(F.max("o_orderkey")).collect()[0][0]) + 1
+    # o_custkey shift matches customer's so FK joins stay within-replica
+    _rep(
+        od, {"o_orderkey": off_ok, "o_custkey": off_c}
+    ).write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "orders.parquet")
+    )
 
     li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
     mx = li.agg(
@@ -197,6 +263,7 @@ def build_sf1(spark, replicas: int) -> dict:
         "lineitem_rows": rep.count(),
         "documents_rows": rep_docs.count(),
         "embeddings_rows": rep_emb.count(),
+        "events_rows": rep_ev.count(),
     }
     json.dump(info, open(marker, "w"))
     return info
