@@ -988,3 +988,64 @@ def adamic_adar(edges: DataFrame, chunk: int = 32) -> DataFrame:
             "common_neighbors",
         )
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected graph, fixed ``rounds`` sweeps, fully deterministic.
+
+    ``edges`` has columns (u, v). Every node starts with its own id as
+    label; each round reassigns every node the label that is most
+    frequent among its NEIGHBORS (self excluded), breaking count ties
+    toward the smallest label — the deterministic variant of LPA's
+    random tie-break, so results are identical across engines, reshards
+    and retries. Returns (node BIGINT, community BIGINT).
+
+    Scale shape (the same per-round contract as :func:`pagerank` /
+    :func:`bfs_levels`): one equi-join of the symmetrized edge list
+    against the |V|-row label table plus two map-side-combinable hash
+    aggs (neighbor-label counts, then the argmax with min-label
+    tie-break as max-count filter + MIN — portable to the unrolled SQL
+    oracle, no engine-specific max_by struct ordering). Labels are
+    materialized per round to cut lineage. Per-round cost O(|E|),
+    rounds fixed by contract — the oracle unrolls the same rounds.
+    """
+    sym = (
+        edges.select(
+            F.least("u", "v").cast("bigint").alias("u"),
+            F.greatest("u", "v").cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    sym = materialize_shared(sym)
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        cnt = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        mx = cnt.groupBy(F.col("src").alias("mx_src")).agg(
+            F.max("c").alias("mc")
+        )
+        labels = materialize_shared(
+            cnt.join(
+                mx,
+                (cnt["src"] == mx["mx_src"]) & (cnt["c"] == mx["mc"]),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -2785,3 +2785,531 @@ def q144_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q145_mann_whitney",
+    oracle="""
+        WITH v AS (
+            SELECT c_acctbal AS val,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                       AS in_a
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ), cnt AS (
+            SELECT val,
+                   CAST(sum(in_a) AS BIGINT) AS ca,
+                   CAST(sum(1 - in_a) AS BIGINT) AS cb
+            FROM v GROUP BY val
+        ), ranked AS (
+            SELECT val, ca, cb,
+                   COALESCE(SUM(ca + cb) OVER (ORDER BY val
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS before
+            FROM cnt
+        ), s AS (
+            SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                   CAST(SUM(cb) AS DOUBLE) AS nb,
+                   SUM(ca * (before + (ca + cb + 1) / 2.0)) AS ranks_a,
+                   SUM(CAST(ca + cb AS DOUBLE) * (ca + cb) * (ca + cb)
+                       - (ca + cb)) AS ties
+            FROM ranked
+        )
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               ROUND(ranks_a - na * (na + 1) / 2.0, 2) AS u_stat,
+               ROUND((ranks_a - na * (na + 1) / 2.0 - na * nb / 2.0)
+                     / SQRT(na * nb / 12.0
+                            * ((na + nb + 1)
+                               - ties / ((na + nb)
+                                         * (na + nb - 1.0)))), 6) AS z
+        FROM s
+    """,
+    description="two-sample Mann-Whitney U test (BUILDING vs "
+    "MACHINERY account balances) with midranks and the tie-corrected "
+    "normal approximation — the nonparametric location test a "
+    "data-drift monitor runs beside the KS distance (q124). Same "
+    "scale shape as q124: rows collapse to per-DISTINCT-VALUE "
+    "(ca, cb) counts, so the rank prefix sum rides the bounded "
+    "2-decimal value domain, never row count; midranks, the U "
+    "statistic and the tie term are all closed forms of those "
+    "counts. Every product is forced to DOUBLE before multiplying "
+    "(na*nb and t^3 overflow BIGINT at ~1e10 rows); at test scale "
+    "all terms are exact multiples of 0.5 below 2^53, so both "
+    "engines compute bit-identical sums in any order",
+    tags=("stats",),
+)
+def q145_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    v = (
+        t["customer"]
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_acctbal").alias("val"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("in_a"),
+        )
+    )
+    cnt = v.groupBy("val").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    w_prev = W.orderBy("val").rowsBetween(W.unboundedPreceding, -1)
+    ranked = cnt.withColumn(
+        "before",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w_prev), F.lit(0)),
+    )
+    tie = F.col("ca") + F.col("cb")
+    s = ranked.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.sum(
+            F.col("ca")
+            * (F.col("before") + (F.col("ca") + F.col("cb") + 1) / 2.0)
+        ).alias("ranks_a"),
+        F.sum(tie.cast("double") * tie * tie - tie).alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("ranks_a") - na * (na + 1) / 2.0
+    var = (
+        na
+        * nb
+        / 12.0
+        * ((na + nb + 1) - F.col("ties") / ((na + nb) * (na + nb - 1.0)))
+    )
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - na * nb / 2.0) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "q146_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.event_type,
+                   CAST(b.x - a.x AS DOUBLE)
+                       / date_diff('day', a.day, b.day) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        )
+        SELECT event_type,
+               CAST((1 + SQRT(1.0 + 8 * count(*))) / 2 AS BIGINT)
+                   AS n_days,
+               ROUND(median(slope), 6) AS sen_slope
+        FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+    description="Theil-Sen robust trend estimator per event type: the "
+    "median of all pairwise slopes of the daily volume series — the "
+    "outlier-resistant alternative to the OLS fit (q100), standard in "
+    "anomaly-tolerant capacity forecasting. Raw events collapse to "
+    "the (type, day) rollup FIRST, so the quadratic pair join runs on "
+    "the bounded calendar domain (days^2 per type, ~66k pairs/year) "
+    "no matter how many raw events; n_days is recovered from the "
+    "pair count via the triangular-number inverse so the rollup is "
+    "scanned once. Slopes are single correctly-rounded divisions of "
+    "exact integers — bit-identical in both engines — and the median "
+    "of an even count averages the same two doubles either side",
+    tags=("stats", "timeseries", "events"),
+)
+def q146_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            ((1 + F.sqrt(1.0 + 8 * F.count("*"))) / 2)
+            .cast("bigint")
+            .alias("n_days"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q147_spearman",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x,
+                   FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS y
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT event_type,
+                   RANK() OVER (PARTITION BY event_type ORDER BY x)
+                       + (COUNT(*) OVER (PARTITION BY event_type, x)
+                          - 1) / 2.0 AS rx,
+                   RANK() OVER (PARTITION BY event_type ORDER BY y)
+                       + (COUNT(*) OVER (PARTITION BY event_type, y)
+                          - 1) / 2.0 AS ry
+            FROM daily
+        ), s AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+                   SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx)
+                            * (n * syy - sy * sy)), 6) AS rho
+        FROM s ORDER BY event_type
+    """,
+    description="Spearman rank correlation between daily volume and "
+    "daily mean value per event type — the monotone-association "
+    "measure robust to the heavy-tailed values Pearson (q107) is "
+    "not. Midranks (RANK + half the tie run) make ties exact; rho is "
+    "Pearson on the midranks computed from six exact closed-form "
+    "sums, never an incremental co-moment (engine co-moment "
+    "implementations differ in association order; the explicit sums "
+    "are exact multiples of 0.25 below 2^53, so both engines agree "
+    "bitwise before the one rounding). The daily mean is pre-rounded "
+    "engine-stably (floor-half-up, the q126 pattern) so tie GROUPS "
+    "match across engines. All windows ride the bounded "
+    "(type, day) rollup, never raw events",
+    tags=("stats", "timeseries", "events"),
+)
+def q147_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            (F.floor(F.avg("value") * 10000.0 + 0.5) / 10000.0).alias(
+                "y"
+            ),
+        )
+    )
+
+    def midrank(col: str):
+        return (
+            F.rank().over(W.partitionBy("event_type").orderBy(col))
+            + (
+                F.count("*").over(W.partitionBy("event_type", col))
+                - 1
+            )
+            / 2.0
+        )
+
+    ranked = daily.select(
+        "event_type",
+        midrank("x").alias("rx"),
+        midrank("y").alias("ry"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.round(rho, 6).alias("rho"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q148_anova_oneway",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS DOUBLE) AS ni,
+                   SUM(o_totalprice) AS si,
+                   SUM(o_totalprice * o_totalprice) AS qi
+            FROM orders GROUP BY 1
+        ), s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS k,
+                   SUM(ni) AS n, SUM(si) AS grand,
+                   SUM(si * si / ni) AS between_raw,
+                   SUM(qi) AS total_sq
+            FROM g
+        )
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(n AS BIGINT) AS n_rows,
+               ROUND(((between_raw - grand * grand / n) / (k - 1))
+                     / ((total_sq - between_raw) / (n - k)), 4)
+                   AS f_stat,
+               ROUND((between_raw - grand * grand / n)
+                     / (total_sq - grand * grand / n), 6) AS eta_sq
+        FROM s
+    """,
+    description="one-way ANOVA of order value across the 5 priority "
+    "classes: F statistic and eta-squared effect size from the "
+    "textbook sum decomposition SSB = sum(si^2/ni) - grand^2/N, "
+    "SSW = sum(qi) - sum(si^2/ni) — the does-this-category-matter "
+    "test a feature-selection pass runs per categorical/numeric "
+    "pair. ONE map-side-combined hash agg over the fact table "
+    "produces the per-group (n, sum, sum-of-squares) moments; "
+    "everything after rides the 5-row group table. The embarrassing "
+    "parallelism is the whole point: no window, no join, no second "
+    "pass at any scale",
+    tags=("stats", "tpch"),
+)
+def q148_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    g = t["orders"].groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("ni"),
+        F.sum("o_totalprice").alias("si"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("qi"),
+    )
+    s = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("grand"),
+        F.sum(F.col("si") * F.col("si") / F.col("ni")).alias(
+            "between_raw"
+        ),
+        F.sum("qi").alias("total_sq"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("between_raw") - F.col("grand") * F.col("grand") / n
+    ssw = F.col("total_sq") - F.col("between_raw")
+    sst = F.col("total_sq") - F.col("grand") * F.col("grand") / n
+    return s.select(
+        k.cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n_rows"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 4).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+@query(
+    "q149_mann_kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY 1
+        ), nn AS (
+            SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+            FROM daily GROUP BY 1
+        ), ties AS (
+            SELECT event_type,
+                   SUM(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS tt
+            FROM (SELECT event_type, x, count(*) AS t
+                  FROM daily GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT s.event_type, s.s_stat,
+               ROUND((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt)
+                     / 18.0, 4) AS var_s,
+               ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                          WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                          ELSE 0 END
+                     / SQRT((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                             - ties.tt) / 18.0), 6) AS z
+        FROM s JOIN nn USING (event_type) JOIN ties USING (event_type)
+        ORDER BY s.event_type
+    """,
+    description="Mann-Kendall monotone-trend test per event type on "
+    "the daily volume series: S = sum of pairwise signs, tie-adjusted "
+    "variance, continuity-corrected z — the distribution-free trend "
+    "detector paired with the Theil-Sen slope (q146). The quadratic "
+    "pair join rides the bounded (type, day) calendar domain, never "
+    "raw events; S is exact integer arithmetic, the variance terms "
+    "are cast to DOUBLE before multiplying (n^3 at unbounded day "
+    "counts), and z's only non-exact steps are one division and one "
+    "correctly-rounded sqrt — bit-identical across engines",
+    tags=("stats", "timeseries", "events"),
+)
+def q149_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    # three consumers (pair join both sides, n, tie table) — cut once
+    daily = materialize_shared(
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tt = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t").cast("double")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tt")
+        )
+    )
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tt")) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+        / F.sqrt(var_s)
+    )
+    return (
+        s.join(nn, "event_type")
+        .join(tt, "event_type")
+        .select(
+            "event_type",
+            "s_stat",
+            F.round(var_s, 4).alias("var_s"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q151_hazard_rate",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CAST(ts AS DATE)) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS tp,
+                   MAX(CAST(ts AS DATE)) AS tlast
+            FROM events GROUP BY user_id
+        ), durations AS (
+            SELECT CASE WHEN tp IS NOT NULL
+                        THEN date_diff('day', t0, tp)
+                        ELSE date_diff('day', t0, tlast) END AS t,
+                   CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+            FROM per_user
+        ), grid AS (
+            SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM durations GROUP BY t
+        ), at_risk AS (
+            SELECT t, d,
+                   (SELECT CAST(count(*) AS BIGINT) FROM durations)
+                       - COALESCE(SUM(c) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_risk
+            FROM grid
+        ), haz AS (
+            SELECT t, d, n_risk,
+                   SUM(d / CAST(n_risk AS DOUBLE)) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS na
+            FROM at_risk
+        )
+        SELECT t AS day, n_risk, d AS n_events,
+               FLOOR(d / CAST(n_risk AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS hazard,
+               FLOOR(na * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard
+        FROM haz WHERE d > 0 ORDER BY t
+    """,
+    description="discrete-time hazard and Nelson-Aalen cumulative "
+    "hazard for time-to-first-purchase — the instantaneous-risk "
+    "companion to the Kaplan-Meier curve (q131), sharing its "
+    "user-rollup -> duration-grid scale shape: the prefix sums ride "
+    "the bounded duration domain. Unlike KM there is NO exp/ln "
+    "anywhere: hazard d/n is one correctly-rounded division and the "
+    "Nelson-Aalen sum accumulates those exact quotients, so the only "
+    "engine-stability armor needed is floor-half-up at output (sum "
+    "association order differs across engines by ~1e-16)",
+    tags=("stats", "timeseries", "events"),
+)
+def q151_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    day = F.to_date("ts")
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.max(day).alias("tlast"),
+    )
+    durations = per_user.select(
+        F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
+        .otherwise(F.datediff("tlast", "t0"))
+        .alias("t"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    grid = durations.groupBy("t").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    at_risk = grid.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+    )
+    h = F.col("d") / F.col("n_risk").cast("double")
+    haz = at_risk.withColumn("na", F.sum(h).over(w_cum))
+    return (
+        haz.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            (F.floor(h * 1000000.0 + 0.5) / 1000000.0).alias("hazard"),
+            (F.floor(F.col("na") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "cum_hazard"
+            ),
+        )
+        .orderBy("day")
+    )

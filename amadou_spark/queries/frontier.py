@@ -917,3 +917,67 @@ def q102_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst", "e.w")
     return sssp(edges, rounds=3)
+
+
+def _lpa_oracle(rounds: int = 2) -> str:
+    """Unrolled fixed-round synchronous label propagation: one
+    (count, argmax) CTE pair per round — same unroll style as the
+    PageRank/k-means oracles (recursive CTEs cannot re-aggregate)."""
+    its = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        its.append(f"""c{i} AS (
+            SELECT s.src, l.label, count(*) AS c
+            FROM sym s JOIN {prev} l ON s.dst = l.node
+            GROUP BY 1, 2
+        ), m{i} AS (
+            SELECT src, max(c) AS mc FROM c{i} GROUP BY 1
+        ), l{i} AS (
+            SELECT c{i}.src AS node, MIN(c{i}.label) AS label
+            FROM c{i} JOIN m{i}
+              ON c{i}.src = m{i}.src AND c{i}.c = m{i}.mc
+            GROUP BY 1
+        )""")
+        prev = f"l{i}"
+    return f"""
+        WITH pl AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_orderkey % 5 = 0),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v, u FROM e
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        {', '.join(its)}
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(label AS BIGINT) AS community
+        FROM {prev} ORDER BY node
+    """
+
+
+@query(
+    "q150_label_propagation",
+    oracle=_lpa_oracle(rounds=2),
+    description="community detection by synchronous label propagation "
+    "(Raghavan et al. 2007; 2 fixed sweeps) over the sampled part "
+    "co-order graph shared with q96-q99 — the near-linear-time "
+    "community pass run before per-community processing (the graph "
+    "analogue of clustering before SemDeDup). Deterministic variant: "
+    "every node takes the most frequent NEIGHBOR label, count ties "
+    "break to the smallest label, so both engines and any reshard "
+    "agree exactly. Per round: one O(|E|) equi-join against the "
+    "|V|-row label table + two map-side-combined hash aggs (max-count "
+    "filter + MIN realizes the argmax portably); rounds fixed by "
+    "contract and unrolled identically in the oracle",
+    tags=("graph", "iterative"),
+)
+def q150_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.operators.graph import label_propagation
+
+    t = register_tables(spark, sf_dir)
+    return label_propagation(_co_order_edges(t), rounds=2).orderBy("node")

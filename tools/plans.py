@@ -127,6 +127,14 @@ REVIEW = {
     "llm_tokenizer_fertility": "corpus words join the O(distinct words) encode table UNHINTED; BPE rounds never touch the corpus",
     "q144_stickiness": "DAU and MAU both derive from the materialized distinct (user,day) grain; MAU via bounded 28x sequence() fan-out, no range join",
     "llm_quality_ensemble": "one explode + one per-doc agg + one rollup; gates are integer/ratio arithmetic far from float boundaries",
+    "q145_mann_whitney": "q124 shape: collapse to distinct-value (ca,cb) counts; midranks, U and tie terms are closed forms on the bounded value domain; products forced DOUBLE (na*nb, t^3 overflow BIGINT at 1e10 rows)",
+    "q146_theil_sen": "pairwise slopes ride the (type,day) calendar domain (rollup first); slopes are exact-integer divisions; median interpolates identically in both engines",
+    "q147_spearman": "midranks via RANK + tie-run size; rho from six explicit exact sums, never engine co-moments; windows ride the bounded rollup",
+    "q148_anova_oneway": "ONE map-side-combined hash agg to 5 group-moment rows; F/eta^2 are arithmetic on the remnant — no window, no join",
+    "q149_mann_kendall": "pair join on the bounded calendar rollup (materialized once for 3 consumers); S exact integer; variance in DOUBLE",
+    "q150_label_propagation": "per round: one O(E) equi-join vs the node-label table + two map-side aggs (max-count filter + MIN = portable argmax); rounds fixed and unrolled in the oracle",
+    "q151_hazard_rate": "q131 shape: duration-grid prefix sums; no exp/ln anywhere — one division + floor-half-up is the only float step",
+    "llm_quality_linear_classifier": "64 INTEGER milli-weights as a literal array: per-row codegen element_at, exact BIGINT sums, one division + floor-half-up; no join/UDF before the per-doc agg",
 }
 
 
@@ -216,6 +224,9 @@ SP_ALLOWLIST: dict[str, str] = {
     "q131_kaplan_meier": "per-distinct-duration grid (days)",
     # bounded histogram / group-count tables feeding rank offsets
     "llm_curriculum_order": "token-length histogram + <=9970 (decile,hash) groups",
+    # r6 additions sharing the two bounded grains above
+    "q145_mann_whitney": "collapsed 2-decimal acctbal value domain (q124 shape)",
+    "q151_hazard_rate": "per-distinct-duration grid (q131 shape)",
 }
 
 

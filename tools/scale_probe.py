@@ -111,6 +111,13 @@ EXPECTED = {
     "q118_rfm_segments": ("three two-phase range-rank passes, linear", 1.3),
     "q122_exact_quantiles": ("value-domain collapse + rank selection, linear", 1.3),
     "llm_curriculum_order": ("length histogram + bounded group offsets, linear", 1.3),
+    # r6 new operators with quadratic/iterative shapes worth measuring
+    "q145_mann_whitney": ("value-domain collapse, rank closed forms, linear", 1.3),
+    "q146_theil_sen": ("pair join on bounded calendar rollup, linear in raw rows", 1.3),
+    "q149_mann_kendall": ("pair join on bounded calendar rollup, linear in raw rows", 1.3),
+    "q150_label_propagation": ("fixed rounds x O(E) joins, linear", 1.3),
+    "q151_hazard_rate": ("per-user agg then duration-grid, linear", 1.3),
+    "llm_quality_linear_classifier": ("explode + codegen lookup + per-doc agg, linear", 1.3),
 }
 
 
