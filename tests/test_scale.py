@@ -221,3 +221,62 @@ def test_bloom_prune_null_keys_and_autosizing(spark):
     probe = spark.range(200_000, 230_000).select(F.col("id").alias("fk"))
     kept = bloom_prune(probe, big_dim, "fk", "dk").count()
     assert kept < 3_000  # fpp ~2% at 12 bits/key; saturation => 30k
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """global_rank (two-phase range rank) must equal the unpartitioned
+    row_number window exactly — on duplicate-heavy keys, nulls (NULLS
+    FIRST default both paths), and more partitions than rows."""
+    from pyspark.sql import Window as W
+
+    from amadou_spark.scale import global_rank
+
+    rows = [
+        (i, v)
+        for i, v in enumerate(
+            [5, 3, 3, None, 8, 1, 3, None, 5, 2, 9, 0, 5] * 7
+        )
+    ]
+    df = spark.createDataFrame(rows, "id int, k int")
+    got = {
+        r["id"]: r["rk"]
+        for r in global_rank(df, ["k", "id"], "rk", num_partitions=16)
+        .collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy("k", "id")).cast("bigint"),
+        ).collect()
+    }
+    assert got == want
+    # more partitions than rows: offsets must still be exact
+    tiny = spark.createDataFrame([(1, "b"), (2, "a")], "id int, k string")
+    got2 = sorted(
+        (r["k"], r["rk"])
+        for r in global_rank(tiny, ["k"], "rk", num_partitions=8).collect()
+    )
+    assert got2 == [("a", 1), ("b", 2)]
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """Closed-form ntile sizing must agree with Spark's ntile() for
+    every (n, k) shape — including n < k, n % k != 0, and k = 1."""
+    from pyspark.sql import Window as W
+
+    from amadou_spark.scale import ntile_from_rank
+
+    for n, k in [(1, 4), (3, 10), (7, 4), (8, 4), (9, 4), (100, 7), (5, 1)]:
+        df = spark.range(n).select(F.col("id"))
+        w = W.orderBy("id")
+        both = df.select(
+            F.ntile(k).over(w).alias("want"),
+            ntile_from_rank(
+                F.row_number().over(w).cast("bigint"),
+                F.lit(n).cast("bigint"),
+                k,
+            ).alias("got"),
+        ).collect()
+        for r in both:
+            assert r["got"] == r["want"], (n, k, r)
