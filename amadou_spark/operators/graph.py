@@ -1027,11 +1027,23 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         )
         .select("e.src", "e.dst")
     )
+    if rounds < 1:
+        raise ValueError("label_propagation needs rounds >= 1")
     sym = materialize_shared(sym)
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(rounds):
+    labels = None
+    for rnd in range(rounds):
+        if rnd == 0:
+            # identity-label fast path: with label(v) = v and the edge
+            # list deduped, every neighbor label occurs exactly once,
+            # so argmax-with-min-tie degenerates to MIN(neighbor) —
+            # one map-side-combined agg, no join. Result-identical to
+            # the generic round (the oracle keeps the generic form).
+            labels = materialize_shared(
+                sym.groupBy(F.col("src").alias("node")).agg(
+                    F.min("dst").alias("label")
+                )
+            )
+            continue
         cnt = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy(F.col("src"), F.col("label"))

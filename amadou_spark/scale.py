@@ -48,50 +48,60 @@ def global_rank(
     1. ``repartitionByRange`` on the sort key (range exchange: each
        partition holds one contiguous key range, ranges ascend with
        partition index — this is how Spark's own global ORDER BY
-       distributes) and pin the partition ids by materializing once
-       (the id column must agree between the offset table and the
-       rank pass, and lazy re-evaluation could re-sample boundaries).
+       distributes), ``sortWithinPartitions`` on the same key, then
+       stamp ``monotonically_increasing_id`` — whose documented layout
+       is (partition id << 33) | local record index, i.e. a free
+       per-partition row number with NO window and NO second exchange
+       (this is exactly RDD.zipWithIndex re-expressed in DataFrame
+       terms). The stamped frame is materialized once so the ids the
+       offset table was computed from are the ids the ranks read
+       (lazy re-evaluation could re-sample range boundaries).
     2. Per-partition row counts (a #partitions-row aggregate) become
        starting offsets with a driver-side prefix sum — the same
        bounded control collect RDD.zipWithIndex performs; never a
        data-sized action.
-    3. rank = offset(partition) + row_number within the partition.
+    3. rank = offset(partition) + local index + 1.
 
-    Correct for ANY boundary placement the range sampler picks, so the
-    sampler's nondeterminism never reaches the result. Cost: one range
-    exchange + one hash exchange of the data and a broadcast of the
-    #partitions-row offset table — the price of a global rank without
-    collapsing to a single task (never an Exchange SinglePartition).
-    Use when the rank key's value domain is unbounded; for bounded
-    domains prefer collapsing to per-distinct-value counts (the q124
-    shape) which is cheaper.
+    Correct for ANY boundary placement the range sampler picks (and
+    any AQE coalescing of the range exchange — adjacent ranges merge
+    in order and the within-partition sort re-establishes order), so
+    the sampler's nondeterminism never reaches the result. Cost: ONE
+    range exchange + in-partition sort of the data, a #partitions-row
+    aggregate, and a broadcast of the offset table — the price of a
+    global rank without collapsing to a single task (never an
+    Exchange SinglePartition). Use when the rank key's value domain
+    is unbounded; for bounded domains prefer collapsing to
+    per-distinct-value counts (the q124 shape) which is cheaper.
     """
-    from pyspark.sql import Window as W
-
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = df.repartitionByRange(n, *order_cols)
     pinned = materialize_shared(
-        ranged.withColumn("_gr_pid", F.spark_partition_id())
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_gr_mid", F.monotonically_increasing_id())
     )
-    counts = pinned.groupBy("_gr_pid").agg(F.count("*").alias("_gr_c"))
+    pid = F.shiftright("_gr_mid", 33)
+    local = F.col("_gr_mid").bitwiseAND((1 << 33) - 1)
+    counts = pinned.groupBy(pid.alias("_gr_pid")).agg(
+        F.count("*").alias("_gr_c")
+    )
     cum = 0
     offset_rows = []
     for row in sorted(counts.collect(), key=lambda r: r["_gr_pid"]):
         offset_rows.append((row["_gr_pid"], cum))
         cum += row["_gr_c"]
     offsets = df.sparkSession.createDataFrame(
-        offset_rows or [(0, 0)], "_gr_pid int, _gr_off bigint"
+        offset_rows or [(0, 0)], "_gr_pid bigint, _gr_off bigint"
     )
-    w_loc = W.partitionBy("_gr_pid").orderBy(*order_cols)
     return (
-        pinned.join(F.broadcast(offsets), "_gr_pid")
+        pinned.withColumn("_gr_pid", pid)
+        .join(F.broadcast(offsets), "_gr_pid")
         .withColumn(
             rank_name,
-            (F.col("_gr_off") + F.row_number().over(w_loc)).cast("bigint"),
+            (F.col("_gr_off") + local + 1).cast("bigint"),
         )
-        .drop("_gr_pid", "_gr_off")
+        .drop("_gr_pid", "_gr_off", "_gr_mid")
     )
 
 

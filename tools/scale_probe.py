@@ -292,6 +292,11 @@ def main() -> int:
     print("sf1 slice:", info, flush=True)
 
     ops = args.ops or list(EXPECTED)
+    unknown = [o for o in ops if o not in EXPECTED]
+    if unknown:  # fail before timing anything, not mid-merge
+        raise SystemExit(
+            f"ops without an EXPECTED complexity/gate entry: {unknown}"
+        )
     # warmup (footer caches, JIT, python workers)
     REGISTRY["q01_scan_projection"].fn(spark, SF01).count()
 
