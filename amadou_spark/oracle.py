@@ -22,11 +22,21 @@ from amadou_spark.queries import REGISTRY, _load
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Views named exactly like the driver pre-registers them."""
+    """Views named exactly like the driver pre-registers them.
+
+    Handles both layouts: the driver's single-file tables AND
+    Spark-written directory tables (part-*.parquet under the path) —
+    the latter appear when the gate runs against synthesized slices
+    like scale_probe_data/sf1."""
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        p = table_path(sf_dir, name)
+        if os.path.isdir(p):
+            p = f"{p}/**/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 
