@@ -120,23 +120,16 @@ def _gate(df: DataFrame, bound_rows: int) -> DataFrame:
     return F.broadcast(df) if bound_rows <= BROADCAST_ROWS_GATE else df
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     docs: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
-    min_jaccard: float = 0.05,
-    max_shingle_freq: int = 1000,
+    text_col: str,
+    n: int,
+    max_shingle_freq: int,
 ) -> DataFrame:
-    """Near-dup candidate pairs by n-gram Jaccard similarity.
-
-    Inverted-index plan: doc→shingles (explode) → self equi-join on
-    shingle (id_a < id_b) → count common shingles per pair → join per-doc
-    shingle counts → jaccard = common / (|A| + |B| - common).
-
-    ``max_shingle_freq`` drops shingles shared by more than that many
-    docs (stop-shingles): they add candidate pairs quadratically while
-    carrying almost no signal — this is the skew guard that keeps the
-    self-join bounded at corpus scale.
+    """Shared inverted-index candidate machinery for the set-similarity
+    dedup family: returns (id_a, id_b, n_common, n_a, n_b) for every
+    doc pair sharing at least one (non-stop) shingle. Jaccard and
+    overlap-coefficient scoring are thin selects over this.
     """
     # join on a 64-bit shingle hash, not the string: the self-join
     # shuffle then carries 8-byte keys instead of ~n·word-length strings
@@ -194,9 +187,31 @@ def ngram_jaccard_pairs(
     # shuffle join on the 8-byte doc_id that AQE may still convert
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return common.join(_gate(ca, n_docs), "id_a").join(
+        _gate(cb, n_docs), "id_b"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.05,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs by n-gram Jaccard similarity.
+
+    Inverted-index plan: doc→shingles (explode) → self equi-join on
+    shingle (id_a < id_b) → count common shingles per pair → join per-doc
+    shingle counts → jaccard = common / (|A| + |B| - common).
+
+    ``max_shingle_freq`` drops shingles shared by more than that many
+    docs (stop-shingles): they add candidate pairs quadratically while
+    carrying almost no signal — this is the skew guard that keeps the
+    self-join bounded at corpus scale.
+    """
     return (
-        common.join(_gate(ca, n_docs), "id_a")
-        .join(_gate(cb, n_docs), "id_b")
+        _shingle_pair_counts(docs, text_col, n, max_shingle_freq)
         .select(
             "id_a",
             "id_b",
@@ -205,6 +220,38 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def overlap_coeff_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by the Szymkiewicz-Simpson overlap
+    coefficient: common / min(|A|, |B|).
+
+    Catches the containment case Jaccard misses — a short document
+    wholly embedded in a much longer one scores overlap 1.0 but
+    Jaccard |A|/|B| (arbitrarily low). This is the measure a corpus
+    curation pass uses to drop quote-expansions and boilerplate-wrapped
+    duplicates. Same inverted-index/stop-shingle candidate plan as
+    :func:`ngram_jaccard_pairs` (shared machinery), so candidate
+    generation stays equi-join-bounded at corpus scale. The score is
+    one correctly-rounded division of exact integer counts.
+    """
+    return (
+        _shingle_pair_counts(docs, text_col, n, max_shingle_freq)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= min_overlap)
     )
 
 

@@ -565,6 +565,83 @@ def pagerank(
             spark.conf.set(k, v)
 
 
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient.
+
+    Same degree-oriented enumeration as :func:`triangle_stats` (every
+    out-degree capped at O(sqrt(m)), wedge join bounded at O(m^1.5)
+    rows total), but instead of counting triangles globally each found
+    triangle (a, b, c) is exploded to its three corners and counted
+    per node. lcc(v) = 2*T(v) / (d(v)*(d(v)-1)) for d >= 2.
+
+    Returns (node BIGINT, d BIGINT, n_tri BIGINT, lcc DOUBLE) for
+    every node with degree >= 2; lcc is a single correctly-rounded
+    division of exact integers, so it is bit-identical across engines.
+    """
+    e = materialize_shared(
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    keep_uv = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(keep_uv, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(keep_uv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(keep_uv, F.col("dv.d")).otherwise(F.col("du.d")).alias(
+                "dst_d"
+            ),
+        )
+    )
+    oriented = materialize_shared(oriented)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedge_lt = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
+        (F.col("e1.dst_d") == F.col("e2.dst_d"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.src") == F.col("e2.src")) & wedge_lt
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    corners = wedges.join(closing, ["b", "c"]).select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    tri = corners.groupBy("node").agg(F.count("*").alias("n_tri"))
+    lcc = 2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / (
+        F.col("d") * (F.col("d") - 1)
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("d").cast("bigint").alias("d"),
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tri"),
+            lcc.alias("lcc"),
+        )
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Exact triangle count + global clustering coefficient of an
     undirected graph, via the degree-oriented node-iterator algorithm

@@ -3313,3 +3313,374 @@ def q151_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q152_kruskal_wallis",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS val,
+                   o_orderpriority AS grp
+            FROM orders
+        ), cnt AS (
+            SELECT val, grp, CAST(count(*) AS BIGINT) AS c
+            FROM v GROUP BY 1, 2
+        ), tot AS (
+            SELECT val, CAST(SUM(c) AS BIGINT) AS t,
+                   COALESCE(SUM(SUM(c)) OVER (ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS before
+            FROM cnt GROUP BY val
+        ), r AS (
+            SELECT grp,
+                   SUM(c * (before + (t + 1) / 2.0)) AS rg,
+                   CAST(SUM(c) AS DOUBLE) AS ng
+            FROM cnt JOIN tot USING (val) GROUP BY grp
+        ), ties AS (
+            SELECT SUM(CAST(t AS DOUBLE) * t * t - t) AS tie_sum
+            FROM tot
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   SUM(ng) AS n, SUM(rg * rg / ng) AS s_r
+            FROM r
+        )
+        SELECT k_groups, CAST(n AS BIGINT) AS n_rows,
+               FLOOR((12.0 / (n * (n + 1)) * s_r - 3 * (n + 1))
+                     / (1 - tie_sum / (n * n * n - n))
+                     * 1000000.0 + 0.5) / 1000000.0 AS h_stat
+        FROM s CROSS JOIN ties
+    """,
+    description="Kruskal-Wallis H test of order value across the 5 "
+    "priority classes — the nonparametric ANOVA (rank-based companion "
+    "to q148) a feature-selection pass prefers when the measure is "
+    "heavy-tailed. Values coarsen to whole dollars FIRST so the rank "
+    "pass rides the bounded price domain (<=~600k distinct values at "
+    "any scale factor, the q124/q145 collapsed-value-domain shape), "
+    "never fact rows: one hash agg to (val, grp) counts, one prefix "
+    "sum for midranks (before + (t+1)/2 handles ties exactly), then "
+    "5-row closed-form H with the standard tie correction. Midranks "
+    "are exact multiples of 0.5 and rank sums stay below 2^52, so "
+    "both engines agree bitwise before the one floor-half-up",
+    tags=("stats", "tpch"),
+)
+def q152_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    v = t["orders"].select(
+        F.floor("o_totalprice").cast("bigint").alias("val"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    cnt = v.groupBy("val", "grp").agg(F.count("*").cast("bigint").alias("c"))
+    w_prev = W.orderBy("val").rowsBetween(W.unboundedPreceding, -1)
+    tot = (
+        cnt.groupBy("val")
+        .agg(F.sum("c").cast("bigint").alias("t"))
+        .withColumn(
+            "before", F.coalesce(F.sum("t").over(w_prev), F.lit(0))
+        )
+    )
+    r = (
+        cnt.join(tot, "val")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("before") + (F.col("t") + 1) / 2.0)
+            ).alias("rg"),
+            F.sum("c").cast("double").alias("ng"),
+        )
+    )
+    ties = tot.agg(
+        F.sum(F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_sum"
+        )
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("ng").alias("n"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("s_r"),
+    )
+    n = F.col("n")
+    h = 12.0 / (n * (n + 1)) * F.col("s_r") - 3 * (n + 1)
+    h_adj = h / (1 - F.col("tie_sum") / (n * n * n - n))
+    return s.crossJoin(F.broadcast(ties)).select(
+        "k_groups",
+        n.cast("bigint").alias("n_rows"),
+        (F.floor(h_adj * 1000000.0 + 0.5) / 1000000.0).alias("h_stat"),
+    )
+
+
+@query(
+    "q153_kendall_tau",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x,
+                   FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS y
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                            THEN 1 ELSE 0 END) AS nc,
+                   SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                            THEN 1 ELSE 0 END) AS nd
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY 1
+        ), nn AS (
+            SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+            FROM daily GROUP BY 1
+        ), tx AS (
+            SELECT event_type, SUM(t * (t - 1) / 2.0) AS n1
+            FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS t
+                  FROM daily GROUP BY event_type, x)
+            GROUP BY 1
+        ), ty AS (
+            SELECT event_type, SUM(t * (t - 1) / 2.0) AS n2
+            FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS t
+                  FROM daily GROUP BY event_type, y)
+            GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CAST(nc AS BIGINT) AS concordant,
+               CAST(nd AS BIGINT) AS discordant,
+               ROUND((nc - nd) / SQRT((n * (n - 1) / 2.0 - n1)
+                                      * (n * (n - 1) / 2.0 - n2)), 6)
+                   AS tau_b
+        FROM pairs JOIN nn USING (event_type)
+        JOIN tx USING (event_type) JOIN ty USING (event_type)
+        ORDER BY event_type
+    """,
+    description="Kendall tau-b rank correlation between daily volume "
+    "and daily mean value per event type — the concordance-based "
+    "alternative to Spearman (q147), preferred when the series is "
+    "short or tie-heavy because every pair contributes exactly +1/0/-1. "
+    "Raw events collapse to the (type, day) rollup FIRST, so the "
+    "quadratic pair join rides the bounded calendar domain (the q146 "
+    "Theil-Sen shape) no matter how many raw events; concordant/"
+    "discordant are exact integer counts (y is pre-rounded "
+    "floor-half-up so tie groups match across engines, the q147 "
+    "pattern) and tau-b is one closed-form division over the "
+    "tie-corrected pair counts",
+    tags=("stats", "timeseries", "events"),
+)
+def q153_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            (F.floor(F.avg("value") * 10000.0 + 0.5) / 10000.0).alias("y"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = (F.col("b.x") - F.col("a.x")) * (F.col("b.y") - F.col("a.y"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("nd"),
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n")
+    )
+
+    def tie_sum(col: str, out: str) -> DataFrame:
+        return (
+            daily.groupBy("event_type", col)
+            .agg(F.count("*").cast("double").alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2.0).alias(out))
+        )
+
+    n = F.col("n")
+    n0 = n * (n - 1) / 2.0
+    tau = (F.col("nc") - F.col("nd")) / F.sqrt(
+        (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    )
+    return (
+        pairs.join(nn, "event_type")
+        .join(tie_sum("x", "n1"), "event_type")
+        .join(tie_sum("y", "n2"), "event_type")
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_days"),
+            F.col("nc").cast("bigint").alias("concordant"),
+            F.col("nd").cast("bigint").alias("discordant"),
+            F.round(tau, 6).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q154_cramers_v",
+    oracle="""
+        WITH cells AS (
+            SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+                   CAST(count(*) AS DOUBLE) AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ), rt AS (
+            SELECT seg, SUM(o) AS r FROM cells GROUP BY seg
+        ), ct AS (
+            SELECT prio, SUM(o) AS c FROM cells GROUP BY prio
+        ), n AS (
+            SELECT SUM(o) AS n FROM cells
+        ), chi AS (
+            SELECT SUM((o - r * c / n) * (o - r * c / n) / (r * c / n))
+                       AS chi2,
+                   MAX(n) AS n,
+                   CAST(count(DISTINCT seg) AS DOUBLE) AS nr,
+                   CAST(count(DISTINCT prio) AS DOUBLE) AS nc
+            FROM cells JOIN rt USING (seg) JOIN ct USING (prio)
+            CROSS JOIN n
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               FLOOR(chi2 * 10000.0 + 0.5) / 10000.0 AS chi2,
+               FLOOR(SQRT(chi2 / (n * LEAST(nr - 1, nc - 1)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+        FROM chi
+    """,
+    description="Cramer's V association between customer market segment "
+    "and order priority — the normalized chi-square effect size "
+    "(complements the goodness-of-fit chi-square q123) a feature audit "
+    "computes for every categorical/categorical pair. One fact-side "
+    "hash join + ONE map-side-combined agg collapses everything to the "
+    "25-cell contingency table; row/column margins, chi-square and V "
+    "are closed-form arithmetic on that bounded grid. Cell counts are "
+    "exact integers, expected counts are two correctly-rounded ops on "
+    "identical doubles, and the 25-term sum gets floor-half-up armor",
+    tags=("stats", "tpch"),
+)
+def q154_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    cells = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").cast("double").alias("o"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("prio").agg(F.sum("o").alias("c"))
+    nt = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "prio")
+        .crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+            F.max("n").alias("n"),
+            F.countDistinct("seg").cast("double").alias("nr"),
+            F.countDistinct("prio").cast("double").alias("nc"),
+        )
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.floor(F.col("chi2") * 10000.0 + 0.5) / 10000.0).alias("chi2"),
+        (F.floor(v * 1000000.0 + 0.5) / 1000000.0).alias("cramers_v"),
+    )
+
+
+@query(
+    "q155_pacf",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type, v,
+                   lag(v, 1) OVER w AS v1,
+                   lag(v, 2) OVER w AS v2,
+                   lag(v, 3) OVER w AS v3
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ), acf AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   FLOOR(corr(v, v1) * 10000.0 + 0.5) / 10000.0 AS r1,
+                   FLOOR(corr(v, v2) * 10000.0 + 0.5) / 10000.0 AS r2,
+                   FLOOR(corr(v, v3) * 10000.0 + 0.5) / 10000.0 AS r3
+            FROM lagged GROUP BY event_type
+        ), lev AS (
+            SELECT event_type, n_days, r1, r2, r3,
+                   (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+            FROM acf
+        ), lev2 AS (
+            SELECT event_type, n_days, r1, r2, r3, phi22,
+                   r1 * (1 - phi22) AS phi21
+            FROM lev
+        )
+        SELECT event_type, n_days,
+               ROUND(r1, 4) AS pacf1,
+               ROUND(phi22, 4) AS pacf2,
+               ROUND((r3 - phi21 * r2 - phi22 * r1)
+                     / (1 - phi21 * r1 - phi22 * r2), 4) AS pacf3
+        FROM lev2 ORDER BY event_type
+    """,
+    description="partial autocorrelation (lags 1-3) of the daily mean "
+    "event value per event type, via the Durbin-Levinson recursion on "
+    "the ACF — the AR-order diagnostic read next to q104's ACF when "
+    "choosing sequence-model lag depth. Same bounded scale shape as "
+    "q104 (daily rollup collapses the fact table before any window); "
+    "the recursion itself is closed-form arithmetic on the per-type "
+    "3-row ACF. Engine stability: corr() co-moment association order "
+    "differs across engines by ~1e-15, so each acf value is pinned "
+    "floor-half-up at 4 decimals FIRST and the recursion runs on those "
+    "identical pinned inputs — every downstream op is then "
+    "correctly-rounded on bit-identical operands",
+    tags=("stats", "timeseries", "events"),
+)
+def q155_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+
+    def pin(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    acf = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        pin(F.corr("v", "v1")).alias("r1"),
+        pin(F.corr("v", "v2")).alias("r2"),
+        pin(F.corr("v", "v3")).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    lev = acf.withColumn("phi22", phi22).withColumn(
+        "phi21", r1 * (1 - F.col("phi22"))
+    )
+    phi33 = (r3 - F.col("phi21") * r2 - F.col("phi22") * r1) / (
+        1 - F.col("phi21") * r1 - F.col("phi22") * r2
+    )
+    return lev.select(
+        "event_type",
+        "n_days",
+        F.round(r1, 4).alias("pacf1"),
+        F.round(F.col("phi22"), 4).alias("pacf2"),
+        F.round(phi33, 4).alias("pacf3"),
+    ).orderBy("event_type")

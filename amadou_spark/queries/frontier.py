@@ -610,6 +610,113 @@ def q96_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q156_local_clustering",
+    oracle="""
+        WITH pl AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_orderkey % 5 = 0),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM pl a JOIN pl b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e
+                  UNION ALL SELECT v AS node FROM e)
+            GROUP BY node
+        ),
+        o AS (
+            SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS src,
+                   CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.v ELSE e.u END AS dst,
+                   CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                        THEN dv.d ELSE du.d END AS dst_d
+            FROM e
+            JOIN deg du ON e.u = du.node
+            JOIN deg dv ON e.v = dv.node
+        ),
+        w AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM o e1 JOIN o e2
+              ON e1.src = e2.src
+             AND ((e1.dst_d < e2.dst_d)
+                  OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))
+        ),
+        tri0 AS (
+            SELECT w.a, w.b, w.c
+            FROM w JOIN o ON w.b = o.src AND w.c = o.dst
+        ),
+        tri AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+            FROM (SELECT a AS node FROM tri0
+                  UNION ALL SELECT b FROM tri0
+                  UNION ALL SELECT c FROM tri0)
+            GROUP BY node
+        ),
+        pernode AS (
+            SELECT deg.node, deg.d, COALESCE(tri.n_tri, 0) AS n_tri,
+                   2.0 * COALESCE(tri.n_tri, 0) / (deg.d * (deg.d - 1))
+                       AS lcc
+            FROM deg LEFT JOIN tri USING (node)
+            WHERE deg.d >= 2
+        )
+        SELECT CASE WHEN d < 4 THEN '02-03'
+                    WHEN d < 8 THEN '04-07'
+                    WHEN d < 16 THEN '08-15'
+                    WHEN d < 32 THEN '16-31'
+                    WHEN d < 64 THEN '32-63'
+                    WHEN d < 128 THEN '64-127'
+                    ELSE '128+' END AS degree_band,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(n_tri) AS BIGINT) AS sum_tri,
+               FLOOR(AVG(lcc) * 1000000.0 + 0.5) / 1000000.0 AS avg_lcc
+        FROM pernode
+        GROUP BY 1 ORDER BY 1
+    """,
+    description="local clustering coefficient distribution over the "
+    "sampled part co-order graph: per-node triangle counts from the "
+    "same degree-oriented enumeration as q96 (each found triangle "
+    "exploded to its 3 corners — still O(m^1.5) wedges total, no "
+    "hub hotspot), lcc(v) = 2*T(v)/(d(d-1)), aggregated into "
+    "power-of-two degree bands — the ego-density profile that "
+    "separates clustered neighborhoods from hub-and-spoke structure "
+    "at a glance. Per-node lcc is one correctly-rounded division of "
+    "exact integers (bit-identical across engines); only the "
+    "band-level AVG needs floor-half-up armor for sum order",
+    tags=("graph",),
+)
+def q156_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.graph import local_clustering
+
+    t = register_tables(spark, sf_dir)
+    per_node = local_clustering(_co_order_edges(t))
+    band = (
+        F.when(F.col("d") < 4, "02-03")
+        .when(F.col("d") < 8, "04-07")
+        .when(F.col("d") < 16, "08-15")
+        .when(F.col("d") < 32, "16-31")
+        .when(F.col("d") < 64, "32-63")
+        .when(F.col("d") < 128, "64-127")
+        .otherwise("128+")
+    )
+    return (
+        per_node.groupBy(band.alias("degree_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("n_tri").cast("bigint").alias("sum_tri"),
+            (F.floor(F.avg("lcc") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "avg_lcc"
+            ),
+        )
+        .orderBy("degree_band")
+    )
+
+
+@query(
     "q97_bfs_levels",
     oracle="""
         WITH RECURSIVE pl AS (

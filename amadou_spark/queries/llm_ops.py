@@ -22,6 +22,7 @@ from amadou_spark.llm.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    overlap_coeff_pairs,
     simhash,
     simhash_near_pairs,
 )
@@ -2403,4 +2404,148 @@ def llm_quality_linear_classifier(
             (logit > 0).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_dedup_overlap",
+    oracle="""
+        WITH docs_plus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 300000000,
+                   array_to_string(
+                       string_split(text, ' ')[1:25], ' ')
+            FROM documents WHERE doc_id % 100 = 0
+        ), toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM docs_plus
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' '
+                       || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), ok AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(n_common AS DOUBLE) / LEAST(ca.n, cb.n), 6)
+                   AS overlap
+        FROM common
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.5
+        ORDER BY overlap DESC, id_a, id_b
+        LIMIT 200
+    """,
+    description="asymmetric near-dup via the Szymkiewicz-Simpson "
+    "overlap coefficient common/min(|A|,|B|) on 3-gram shingles — "
+    "catches CONTAINMENT (a short doc wholly embedded in a longer "
+    "one scores 1.0) where Jaccard common/union is diluted by the "
+    "length gap; the measure a curation pass uses to drop "
+    "quote-expansions and boilerplate-wrapped copies. Shares "
+    "llm_dedup_ngram_jaccard's inverted-index + stop-shingle plan "
+    "(equi-join candidates only, 8-byte hash keys in the shuffle), so "
+    "the same corpus-scale bounds hold. The synthetic corpus has no "
+    "natural containment pairs, so both engines union a deterministic "
+    "planted slice (every 100th doc's 25-token prefix, shifted id) — "
+    "the planted pairs score overlap ~1.0 and the gate compares "
+    "non-empty output (the llm_dedup_normalized de-vacuation pattern)",
+    tags=("llm", "dedup", "text"),
+)
+def llm_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 300000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 25), " "
+        ).alias("text"),
+    )
+    return (
+        overlap_coeff_pairs(
+            base.unionAll(planted), min_overlap=0.5, max_shingle_freq=1000
+        )
+        .orderBy(F.col("overlap").desc(), "id_a", "id_b")
+        .limit(200)
+    )
+
+
+@query(
+    "llm_dedup_cross_source",
+    oracle="""
+        WITH docs_plus AS (
+            SELECT doc_id, source, md5(text) AS hsh FROM documents
+            UNION ALL
+            SELECT doc_id + 400000000,
+                   'src' || CAST(doc_id % 7 AS VARCHAR),
+                   md5(text)
+            FROM documents WHERE doc_id % 50 = 0
+        ), pairs AS (
+            SELECT LEAST(a.source, b.source) AS source_a,
+                   GREATEST(a.source, b.source) AS source_b
+            FROM docs_plus a JOIN docs_plus b
+              ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+            WHERE a.source <> b.source
+        )
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_dup_pairs
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n_dup_pairs DESC, source_a, source_b
+    """,
+    description="cross-source duplication matrix: for every pair of "
+    "distinct sources, how many byte-exact duplicate document pairs "
+    "they share — the mirror-detection / license-laundering audit a "
+    "corpus intake runs before weighting sources (a source whose "
+    "content is largely copies of another should not count twice in "
+    "the mixture). Only 32-byte md5 hashes shuffle (the "
+    "llm_dedup_exact posture); the self-join is an equi-join on the "
+    "hash, bounded by duplicate-group sizes, never all-pairs. The "
+    "synthetic corpus has no natural cross-source copies, so both "
+    "engines union a deterministic planted slice (every 50th doc "
+    "re-emitted under source 'src'||(doc_id%7), shifted id) — the "
+    "de-vacuation pattern — and the matrix output is non-empty",
+    tags=("llm", "dedup", "text"),
+)
+def llm_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", "source", F.md5("text").alias("hsh")
+    )
+    planted = t["documents"].filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 400000000).alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 7).cast("string")).alias(
+            "source"
+        ),
+        F.md5("text").alias("hsh"),
+    )
+    d = base.unionAll(planted)
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hsh") == F.col("b.hsh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
+        .orderBy(F.col("n_dup_pairs").desc(), "source_a", "source_b")
     )

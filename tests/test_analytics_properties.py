@@ -401,3 +401,82 @@ def test_linear_classifier_score_in_weight_range(spark, sf_dir):
         assert -0.5 <= r["logit"] <= 0.5
         assert r["keep"] == (r["logit"] > 0)
         assert r["n_tokens"] >= 1
+
+
+def test_kruskal_wallis_bounds(spark, sf_dir):
+    """H >= 0 with k=5 groups over the full orders table; the tie
+    correction can only inflate H, never push it negative."""
+    (row,) = _rows(spark, sf_dir, "q152_kruskal_wallis")
+    assert row["k_groups"] == 5
+    assert row["h_stat"] >= 0.0
+    from amadou_spark.catalog import register_tables
+
+    t = register_tables(spark, sf_dir)
+    assert row["n_rows"] == t["orders"].count()
+
+
+def test_kendall_tau_bounds(spark, sf_dir):
+    """|tau_b| <= 1 and concordant+discordant never exceeds the pair
+    count n(n-1)/2."""
+    rows = _rows(spark, sf_dir, "q153_kendall_tau")
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["tau_b"] <= 1.0
+        n = r["n_days"]
+        assert r["concordant"] + r["discordant"] <= n * (n - 1) / 2
+
+
+def test_cramers_v_bounds_and_agreement(spark, sf_dir):
+    """V in [0, 1]; chi2 >= 0; n matches the joined fact count."""
+    (row,) = _rows(spark, sf_dir, "q154_cramers_v")
+    assert row["chi2"] >= 0.0
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_pacf_lag1_equals_acf_lag1(spark, sf_dir):
+    """Durbin-Levinson base case: pacf(1) IS acf(1) — q155's lag-1
+    column must match q104's acf1 per event type exactly (both are
+    the same corr() rounded at 4 decimals)."""
+    acf = {r["event_type"]: r["acf1"] for r in _rows(spark, sf_dir, "q104_autocorr")}
+    for r in _rows(spark, sf_dir, "q155_pacf"):
+        assert abs(r["pacf1"] - acf[r["event_type"]]) <= 1e-4
+        for k in ("pacf1", "pacf2", "pacf3"):
+            assert -1.001 <= r[k] <= 1.001
+
+
+def test_local_clustering_bands_bounded(spark, sf_dir):
+    """Band avg lcc in [0, 1]; bands come from the fixed 7-label grid;
+    triangle corner-sum is divisible by nothing in particular but
+    non-negative."""
+    rows = _rows(spark, sf_dir, "q156_local_clustering")
+    assert rows
+    labels = {"02-03", "04-07", "08-15", "16-31", "32-63", "64-127", "128+"}
+    for r in rows:
+        assert r["degree_band"] in labels
+        assert 0.0 <= r["avg_lcc"] <= 1.0
+        assert r["n_nodes"] >= 1 and r["sum_tri"] >= 0
+
+
+def test_cross_source_matrix_counts_planted_pairs(spark, sf_dir):
+    """Every planted replica (doc_id % 50 == 0 re-emitted under
+    source src||(id%7)) whose synthetic source differs from the
+    original's must appear in the matrix; totals must cover them."""
+    rows = _rows(spark, sf_dir, "llm_dedup_cross_source")
+    assert rows
+    total = sum(r["n_dup_pairs"] for r in rows)
+    from amadou_spark.catalog import register_tables
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, sf_dir)
+    planted_diff = (
+        t["documents"]
+        .filter(F.col("doc_id") % 50 == 0)
+        .filter(
+            F.concat(F.lit("src"), (F.col("doc_id") % 7).cast("string"))
+            != F.col("source")
+        )
+        .count()
+    )
+    assert total >= planted_diff
+    for r in rows:
+        assert r["source_a"] < r["source_b"]

@@ -70,6 +70,33 @@ def test_triangle_stats_matches_bruteforce(spark, edges):
         assert row.clustering == round(3.0 * tris / wedges, 6)
 
 
+@given(EDGES)
+@_SLOW
+def test_local_clustering_matches_bruteforce(spark, edges):
+    from amadou_spark.operators.graph import local_clustering
+
+    es = _canon(edges)
+    if not es:
+        return
+    adj = _adj(es)
+    expect = {}
+    for n, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        t = sum(
+            1
+            for a, b in itertools.combinations(sorted(nbrs), 2)
+            if b in adj[a]
+        )
+        expect[n] = (len(nbrs), t, 2.0 * t / (len(nbrs) * (len(nbrs) - 1)))
+    df = spark.createDataFrame(sorted(es), "u int, v int")
+    got = {
+        r.node: (r.d, r.n_tri, r.lcc)
+        for r in local_clustering(df).collect()
+    }
+    assert got == expect
+
+
 @given(EDGES, st.integers(min_value=1, max_value=4))
 @_SLOW
 def test_kcore_matches_iterative_peel(spark, edges, k):

@@ -674,3 +674,45 @@ def test_bpe_encode_roundtrip_on_corpus(spark, sf_dir):
         | (F.size(F.split(F.col("encoded"), " ")) != F.col("n_tokens"))
     )
     assert bad.count() == 0
+
+
+class TestOverlapCoefficient:
+    def test_containment_scores_one(self, spark):
+        """A doc that is a strict shingle-subset of another scores
+        overlap 1.0 even though its Jaccard is well below 1 — the
+        asymmetry that motivates the measure."""
+        from amadou_spark.llm.dedup import overlap_coeff_pairs
+
+        long = " ".join(f"w{i}" for i in range(40))
+        short = " ".join(f"w{i}" for i in range(12))  # strict prefix
+        df = spark.createDataFrame(
+            [(1, long), (2, short), (3, "zz yy xx ww vv uu")],
+            "doc_id LONG, text STRING",
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.overlap
+            for r in overlap_coeff_pairs(df, min_overlap=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+        jac = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, min_jaccard=0.01).collect()
+        }
+        assert jac[(1, 2)] < 1.0  # jaccard dilutes containment
+
+    def test_overlap_dominates_jaccard(self, planted):
+        """common/min >= common/union on every candidate pair."""
+        from amadou_spark.llm.dedup import overlap_coeff_pairs
+
+        ov = {
+            (r.id_a, r.id_b): r.overlap
+            for r in overlap_coeff_pairs(planted, min_overlap=0.0).collect()
+        }
+        jac = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(planted, min_jaccard=0.0).collect()
+        }
+        assert set(jac) == set(ov)
+        for k, j in jac.items():
+            assert ov[k] >= j - 1e-9

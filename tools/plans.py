@@ -135,6 +135,13 @@ REVIEW = {
     "q150_label_propagation": "per round: one O(E) equi-join vs the node-label table + two map-side aggs (max-count filter + MIN = portable argmax); rounds fixed and unrolled in the oracle",
     "q151_hazard_rate": "q131 shape: duration-grid prefix sums; no exp/ln anywhere — one division + floor-half-up is the only float step",
     "llm_quality_linear_classifier": "64 INTEGER milli-weights as a literal array: per-row codegen element_at, exact BIGINT sums, one division + floor-half-up; no join/UDF before the per-doc agg",
+    "q152_kruskal_wallis": "q124 shape: values coarsen to whole dollars, collapse to (val, grp) counts; midrank prefix sum rides the bounded price domain; H is a 5-row closed form with tie correction",
+    "q153_kendall_tau": "q146 shape: pair join rides the bounded (type,day) calendar rollup; concordant/discordant are exact integer counts; tau-b one division",
+    "q154_cramers_v": "fact join collapses to the 25-cell contingency table in ONE map-side-combined agg; margins/chi2/V are broadcast arithmetic on the bounded grid",
+    "q155_pacf": "q104 shape: daily rollup first, one (type)-partitioned lag window, 3 corr aggs; Durbin-Levinson recursion is closed-form arithmetic on engine-stably pinned ACF values",
+    "q156_local_clustering": "q96's degree-oriented wedge join (out-degree capped O(sqrt m)); triangles explode to 3 corner rows, per-node agg map-side combines; band rollup is bounded output",
+    "llm_dedup_overlap": "shares the jaccard inverted-index/stop-shingle machinery (_shingle_pair_counts); overlap = common/min(|A|,|B|) — same equi-join candidate bounds, one extra projection",
+    "llm_dedup_cross_source": "only 32-byte md5 hashes shuffle; hash equi-join bounded by dup-group sizes; source-pair matrix output bounded by |sources|^2",
 }
 
 
@@ -227,6 +234,9 @@ SP_ALLOWLIST: dict[str, str] = {
     # r6 additions sharing the two bounded grains above
     "q145_mann_whitney": "collapsed 2-decimal acctbal value domain (q124 shape)",
     "q151_hazard_rate": "per-distinct-duration grid (q131 shape)",
+    # whole-dollar price domain: <=~600k distinct values at any scale
+    # factor (bounded by the price range, not the row count)
+    "q152_kruskal_wallis": "collapsed whole-dollar totalprice value domain (q124 shape)",
 }
 
 
