@@ -565,6 +565,62 @@ def pagerank(
             spark.conf.set(k, v)
 
 
+def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
+    edge list (src, dst), fixed ``n_iter`` rounds, L1 normalization.
+
+    L1 (sum) normalization instead of the textbook L2 keeps every step
+    a sum + one division — no sqrt — so the scores are reproducible in
+    any engine and the oracle can unroll the rounds as plain SQL. The
+    ranking (which is what HITS is for) is identical under any p-norm.
+
+    Per round: auth(d) = sum of hub over in-edges, normalized;
+    hub(s) = sum of auth over out-edges, normalized. Each round is two
+    equi-joins of the persisted edge list against a node-score table
+    plus two map-side-combined sums and a 1-row normalizer broadcast —
+    the same O(rounds * |E|) shuffle shape as :func:`pagerank`. Rounds
+    cut lineage via materialize_shared.
+
+    Returns (node, role 'hub'|'authority', score DOUBLE, L1-normalized
+    within each role).
+    """
+    e = materialize_shared(edges.distinct())
+    hub = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("h")
+    )
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(e["dst"].alias("node"))
+            .agg(F.sum("h").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        auth = materialize_shared(
+            a_raw.crossJoin(F.broadcast(a_tot)).select(
+                "node", (F.col("s") / F.col("t")).alias("a")
+            )
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(e["src"].alias("node"))
+            .agg(F.sum("a").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        hub = materialize_shared(
+            h_raw.crossJoin(F.broadcast(h_tot)).select(
+                "node", (F.col("s") / F.col("t")).alias("h")
+            )
+        )
+    return hub.select(
+        "node", F.lit("hub").alias("role"), F.col("h").alias("score")
+    ).unionAll(
+        auth.select(
+            "node", F.lit("authority").alias("role"), F.col("a").alias("score")
+        )
+    )
+
+
 def local_clustering(edges: DataFrame) -> DataFrame:
     """Per-node triangle count + local clustering coefficient.
 

@@ -3684,3 +3684,183 @@ def q155_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("phi22"), 4).alias("pacf2"),
         F.round(phi33, 4).alias("pacf3"),
     ).orderBy("event_type")
+
+
+@query(
+    "q157_levene_test",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderpriority, median(o_totalprice) AS m
+            FROM orders GROUP BY 1
+        ), z AS (
+            SELECT o.o_orderpriority,
+                   ABS(o.o_totalprice - med.m) AS z
+            FROM orders o JOIN med USING (o_orderpriority)
+        ), g AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS DOUBLE) AS ni,
+                   SUM(z) AS si, SUM(z * z) AS qi
+            FROM z GROUP BY 1
+        ), s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS k,
+                   SUM(ni) AS n, SUM(si) AS grand,
+                   SUM(si * si / ni) AS between_raw,
+                   SUM(qi) AS total_sq
+            FROM g
+        )
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(n AS BIGINT) AS n_rows,
+               FLOOR(((between_raw - grand * grand / n) / (k - 1))
+                     / ((total_sq - between_raw) / (n - k))
+                     * 10000.0 + 0.5) / 10000.0 AS w_stat
+        FROM s
+    """,
+    description="Brown-Forsythe / Levene test of variance homogeneity "
+    "of order value across the 5 priority classes: one-way ANOVA F on "
+    "the absolute deviations from each group's MEDIAN (the robust "
+    "center, per Brown & Forsythe 1974) — the check run before "
+    "trusting q148's equal-variance assumption. Two passes: exact "
+    "per-group medians (5 rows, broadcast back), then ONE "
+    "map-side-combined moment agg over |x-med| — the q148 sum "
+    "decomposition on the deviations. Medians interpolate the same "
+    "two doubles in both engines; each deviation is one "
+    "correctly-rounded op on identical operands; only the final "
+    "moment sums need floor-half-up armor",
+    tags=("stats", "tpch"),
+)
+def q157_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    med = t["orders"].groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("m")
+    )
+    z = (
+        t["orders"]
+        .join(F.broadcast(med), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.abs(F.col("o_totalprice") - F.col("m")).alias("z"),
+        )
+    )
+    g = z.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("ni"),
+        F.sum("z").alias("si"),
+        F.sum(F.col("z") * F.col("z")).alias("qi"),
+    )
+    s = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("grand"),
+        F.sum(F.col("si") * F.col("si") / F.col("ni")).alias("between_raw"),
+        F.sum("qi").alias("total_sq"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("between_raw") - F.col("grand") * F.col("grand") / n
+    ssw = F.col("total_sq") - F.col("between_raw")
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    return s.select(
+        k.cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n_rows"),
+        (F.floor(w * 10000.0 + 0.5) / 10000.0).alias("w_stat"),
+    )
+
+
+@query(
+    "q158_psi_drift",
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi,
+                   MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+            FROM events
+        ), tagged AS (
+            SELECT event_type,
+                   CASE WHEN CAST(ts AS DATE) <= d0 + CAST(FLOOR(
+                            date_diff('day', d0, d1) / 2) AS INTEGER)
+                        THEN 0 ELSE 1 END AS half,
+                   LEAST(9, CAST(FLOOR((value - lo) * 10.0 / (hi - lo))
+                                 AS INTEGER)) AS bucket
+            FROM events CROSS JOIN bounds
+        ), cells AS (
+            SELECT event_type, half, bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tagged GROUP BY 1, 2, 3
+        ), wide AS (
+            SELECT event_type, bucket,
+                   SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS na,
+                   SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS nb
+            FROM cells GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+            FROM wide GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets_used,
+               ROUND(SUM((na / ta - nb / tb)
+                         * LN((na / ta) / (nb / tb))), 6) AS psi
+        FROM wide JOIN tot USING (event_type)
+        WHERE na > 0 AND nb > 0
+        GROUP BY event_type ORDER BY event_type
+    """,
+    description="Population Stability Index of the event-value "
+    "distribution between the first and second half of the observation "
+    "window, per event type — the model-monitoring drift score (PSI "
+    ">0.25 = retrain) that complements the categorical KL monitor "
+    "(q63). Ten equal-width buckets over the global [min,max]; the "
+    "half split is exact integer date arithmetic on the min/max days. "
+    "Everything collapses to a <=2x10xK cell table in ONE "
+    "map-side-combined agg; PSI is closed-form on that bounded grid. "
+    "Buckets empty on either side drop out (and are counted), the "
+    "standard finite-sample convention. Bucket indices are floors of "
+    "correctly-rounded arithmetic on identical doubles — identical in "
+    "both engines; only the <=10-term ln sum needs rounding armor",
+    tags=("stats", "timeseries", "events"),
+)
+def q158_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    day = F.to_date("ts")
+    bounds = t["events"].agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min(day).alias("d0"),
+        F.max(day).alias("d1"),
+    )
+    half = F.when(
+        day
+        <= F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        ),
+        0,
+    ).otherwise(1)
+    bucket = F.least(
+        F.lit(9),
+        F.floor(
+            (F.col("value") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+    )
+    cells = (
+        t["events"]
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type", half.alias("half"), bucket.alias("bucket")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wide = cells.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0)).alias("nb"),
+    )
+    tot = wide.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    pa = F.col("na") / F.col("ta")
+    pb = F.col("nb") / F.col("tb")
+    return (
+        wide.join(F.broadcast(tot), "event_type")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets_used"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

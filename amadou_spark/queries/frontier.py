@@ -1088,3 +1088,80 @@ def q150_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir)
     return label_propagation(_co_order_edges(t), rounds=2).orderBy("node")
+
+
+def _hits_oracle(n_iter: int = 3) -> str:
+    """Unrolled fixed-iteration HITS as portable SQL, one pair of
+    materialized CTEs per half-step (AS MATERIALIZED for the same
+    reason as the kcore oracle: each CTE is referenced twice — once by
+    the next half-step and once by its own normalizer — and plain-CTE
+    inlining would expand the scan 2^(2*rounds) times)."""
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""a{i}r AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(h.h) AS s
+            FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY 1
+        ), a{i} AS MATERIALIZED (
+            SELECT node, s / (SELECT SUM(s) FROM a{i}r) AS a FROM a{i}r
+        ), h{i}r AS MATERIALIZED (
+            SELECT e.src AS node, SUM(a.a) AS s
+            FROM e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+        ), h{i} AS MATERIALIZED (
+            SELECT node, s / (SELECT SUM(s) FROM h{i}r) AS h FROM h{i}r
+        )""")
+        prev_h = f"h{i}"
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                            CAST(l_partkey AS BIGINT) AS dst
+            FROM lineitem
+        ), h0 AS (
+            SELECT DISTINCT src AS node, 1.0 AS h FROM e
+        ), {", ".join(rounds)}
+        SELECT node, 'authority' AS role,
+               ROUND(a * 1000, 6) AS score_permille FROM a{n_iter}
+        UNION ALL
+        SELECT node, 'hub', ROUND(h * 1000, 6) FROM h{n_iter}
+        ORDER BY role, node
+    """
+
+
+@query(
+    "q159_hits",
+    oracle=_hits_oracle(),
+    description="HITS hubs & authorities (Kleinberg 1999; 3 fixed "
+    "rounds, L1 normalization) over the DIRECTED supplier->part supply "
+    "graph: authority = a part sourced by well-connected suppliers, "
+    "hub = a supplier stocking authoritative parts — the "
+    "mutually-reinforcing centrality pair PageRank's single score "
+    "(q70) cannot express. Per round two equi-joins of the persisted "
+    "edge list against a node-score table + two map-side-combined "
+    "sums + 1-row normalizer broadcasts: O(rounds x |E|), the q70 "
+    "shuffle shape. L1 instead of L2 normalization keeps every step "
+    "sum+divide (no sqrt), so the oracle unrolls the rounds exactly",
+    tags=("graph", "iterative"),
+)
+def q159_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from amadou_spark.operators.graph import hits
+
+    t = register_tables(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("src"),
+            F.col("l_partkey").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        hits(edges, n_iter=3)
+        .select(
+            "node",
+            "role",
+            F.round(F.col("score") * 1000, 6).alias("score_permille"),
+        )
+        .orderBy("role", "node")
+    )

@@ -480,3 +480,38 @@ def test_cross_source_matrix_counts_planted_pairs(spark, sf_dir):
     assert total >= planted_diff
     for r in rows:
         assert r["source_a"] < r["source_b"]
+
+
+def test_levene_w_nonnegative(spark, sf_dir):
+    """Brown-Forsythe W is a ratio of sums of squares — >= 0, with
+    the full 5-priority, full-orders sample behind it."""
+    (row,) = _rows(spark, sf_dir, "q157_levene_test")
+    assert row["k_groups"] == 5
+    assert row["w_stat"] >= 0.0
+    from amadou_spark.catalog import register_tables
+
+    t = register_tables(spark, sf_dir)
+    assert row["n_rows"] == t["orders"].count()
+
+
+def test_psi_nonnegative(spark, sf_dir):
+    """Every PSI term (p-q)ln(p/q) is >= 0, so the sum is; buckets
+    used is capped at the 10-bucket grid."""
+    rows = _rows(spark, sf_dir, "q158_psi_drift")
+    assert rows
+    for r in rows:
+        assert r["psi"] >= -1e-9
+        assert 1 <= r["n_buckets_used"] <= 10
+
+
+def test_hits_scores_are_l1_normalized(spark, sf_dir):
+    """Each role's scores are an L1-normalized distribution (sum to
+    1000 permille) and every score is positive on the connected
+    supply graph."""
+    rows = _rows(spark, sf_dir, "q159_hits")
+    hubs = [r["score_permille"] for r in rows if r["role"] == "hub"]
+    auths = [r["score_permille"] for r in rows if r["role"] == "authority"]
+    assert hubs and auths
+    assert abs(sum(hubs) - 1000.0) < 0.01
+    assert abs(sum(auths) - 1000.0) < 0.01
+    assert min(hubs) > 0 and min(auths) > 0

@@ -118,6 +118,13 @@ EXPECTED = {
     "q150_label_propagation": ("fixed rounds x O(E) joins, linear", 1.3),
     "q151_hazard_rate": ("per-user agg then duration-grid, linear", 1.3),
     "llm_quality_linear_classifier": ("explode + codegen lookup + per-doc agg, linear", 1.3),
+    # r6 second batch: the quadratic/wedge-shaped newcomers
+    "q152_kruskal_wallis": ("value-domain collapse, midrank closed forms, linear", 1.3),
+    "q153_kendall_tau": ("pair join on bounded calendar rollup, linear in raw rows", 1.3),
+    "q156_local_clustering": ("O(m^1.5) wedges worst, linear on disjoint replicas", 1.3),
+    "llm_dedup_overlap": ("inverted index, linear at fixed posting sizes", 1.3),
+    "llm_dedup_cross_source": ("32-byte hash equi-join, linear at fixed dup-group sizes", 1.3),
+    "q159_hits": ("O(rounds * |E|) score joins, rounds fixed", 1.3),
 }
 
 
