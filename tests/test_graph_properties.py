@@ -278,3 +278,44 @@ def test_sssp_matches_full_relaxation_bellman_ford(spark, edges, rounds):
     )
     got = {r.node: r.dist for r in sssp(df, rounds=rounds).collect()}
     assert got == dist
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=10, max_value=15),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@_SLOW
+def test_hits_matches_power_iteration(spark, edges, n_iter):
+    from amadou_spark.operators.graph import hits
+
+    es = sorted(set(edges))
+    # driver-side reference: same L1-normalized alternating updates
+    hub = {s: 1.0 for s, _ in es}
+    auth = {}
+    for _ in range(n_iter):
+        auth = {}
+        for s, d in es:
+            auth[d] = auth.get(d, 0.0) + hub.get(s, 0.0)
+        tot = sum(auth.values())
+        auth = {k: v / tot for k, v in auth.items()}
+        hub = {}
+        for s, d in es:
+            hub[s] = hub.get(s, 0.0) + auth[d]
+        tot = sum(hub.values())
+        hub = {k: v / tot for k, v in hub.items()}
+    df = spark.createDataFrame(es, "src long, dst long")
+    got_h, got_a = {}, {}
+    for r in hits(df, n_iter=n_iter).collect():
+        (got_h if r.role == "hub" else got_a)[r.node] = r.score
+    assert set(got_h) == set(hub) and set(got_a) == set(auth)
+    for k, v in hub.items():
+        assert math.isclose(got_h[k], v, rel_tol=1e-9)
+    for k, v in auth.items():
+        assert math.isclose(got_a[k], v, rel_tol=1e-9)
