@@ -574,12 +574,18 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     any engine and the oracle can unroll the rounds as plain SQL. The
     ranking (which is what HITS is for) is identical under any p-norm.
 
-    Per round: auth(d) = sum of hub over in-edges, normalized;
-    hub(s) = sum of auth over out-edges, normalized. Each round is two
-    equi-joins of the persisted edge list against a node-score table
-    plus two map-side-combined sums and a 1-row normalizer broadcast —
-    the same O(rounds * |E|) shuffle shape as :func:`pagerank`. Rounds
-    cut lineage via materialize_shared.
+    Per round: auth(d) = sum of hub over in-edges; hub(s) = sum of
+    auth over out-edges. Normalization happens ONCE at the end: an L1
+    normalizer is a global scalar, and scalars cancel straight through
+    the alternating linear updates (a_k/Σa_k is identical whether the
+    inputs were normalized each round or never), so the per-round
+    1-row normalizer agg + broadcast the textbook loop pays is pure
+    waste — each round here is exactly two equi-joins of the persisted
+    edge list against a node-score table plus two map-side-combined
+    sums, the :func:`pagerank` shuffle shape. Unnormalized scores grow
+    like (avg degree)^rounds — ~1e30 for 10 rounds at degree 1000,
+    comfortably inside double range. Rounds cut lineage via
+    materialize_shared.
 
     Returns (node, role 'hub'|'authority', score DOUBLE, L1-normalized
     within each role).
@@ -589,34 +595,37 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         "node", F.lit(1.0).alias("h")
     )
     auth = None
-    for _ in range(n_iter):
-        a_raw = (
+    for i in range(n_iter):
+        auth = (
             e.join(hub, e["src"] == hub["node"])
             .groupBy(e["dst"].alias("node"))
-            .agg(F.sum("h").alias("s"))
+            .agg(F.sum("h").alias("a"))
         )
-        a_tot = a_raw.agg(F.sum("s").alias("t"))
-        auth = materialize_shared(
-            a_raw.crossJoin(F.broadcast(a_tot)).select(
-                "node", (F.col("s") / F.col("t")).alias("a")
-            )
-        )
-        h_raw = (
+        if i == n_iter - 1:
+            # two consumers (final hub update + output) — materialize;
+            # intermediate auths feed exactly one join and ride the
+            # checkpointed hub/e lineage, so they stay lazy
+            auth = materialize_shared(auth)
+        hub = materialize_shared(
             e.join(auth, e["dst"] == auth["node"])
             .groupBy(e["src"].alias("node"))
-            .agg(F.sum("a").alias("s"))
+            .agg(F.sum("a").alias("h"))
         )
-        h_tot = h_raw.agg(F.sum("s").alias("t"))
-        hub = materialize_shared(
-            h_raw.crossJoin(F.broadcast(h_tot)).select(
-                "node", (F.col("s") / F.col("t")).alias("h")
+    h_tot = hub.agg(F.sum("h").alias("t"))
+    a_tot = auth.agg(F.sum("a").alias("t"))
+    return (
+        hub.crossJoin(F.broadcast(h_tot))
+        .select(
+            "node",
+            F.lit("hub").alias("role"),
+            (F.col("h") / F.col("t")).alias("score"),
+        )
+        .unionAll(
+            auth.crossJoin(F.broadcast(a_tot)).select(
+                "node",
+                F.lit("authority").alias("role"),
+                (F.col("a") / F.col("t")).alias("score"),
             )
-        )
-    return hub.select(
-        "node", F.lit("hub").alias("role"), F.col("h").alias("score")
-    ).unionAll(
-        auth.select(
-            "node", F.lit("authority").alias("role"), F.col("a").alias("score")
         )
     )
 

@@ -1092,23 +1092,24 @@ def q150_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hits_oracle(n_iter: int = 3) -> str:
     """Unrolled fixed-iteration HITS as portable SQL, one pair of
-    materialized CTEs per half-step (AS MATERIALIZED for the same
-    reason as the kcore oracle: each CTE is referenced twice — once by
-    the next half-step and once by its own normalizer — and plain-CTE
-    inlining would expand the scan 2^(2*rounds) times)."""
+    materialized CTEs per round (AS MATERIALIZED for the same reason
+    as the kcore oracle: the round CTEs chain into each other and the
+    final pair is read twice — once by the output, once by its L1
+    normalizer — and plain-CTE inlining would expand the scan
+    2^(2*rounds) times). Mirrors the operator's normalize-at-end
+    scheme exactly: raw alternating sums, ONE division per role at
+    the end (scalars cancel through linear updates, so per-round
+    normalization would change nothing but the float path — and the
+    float path must match the Spark side)."""
     rounds = []
     prev_h = "h0"
     for i in range(1, n_iter + 1):
-        rounds.append(f"""a{i}r AS MATERIALIZED (
-            SELECT e.dst AS node, SUM(h.h) AS s
+        rounds.append(f"""a{i} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(h.h) AS a
             FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY 1
-        ), a{i} AS MATERIALIZED (
-            SELECT node, s / (SELECT SUM(s) FROM a{i}r) AS a FROM a{i}r
-        ), h{i}r AS MATERIALIZED (
-            SELECT e.src AS node, SUM(a.a) AS s
-            FROM e JOIN a{i} a ON e.dst = a.node GROUP BY 1
         ), h{i} AS MATERIALIZED (
-            SELECT node, s / (SELECT SUM(s) FROM h{i}r) AS h FROM h{i}r
+            SELECT e.src AS node, SUM(a.a) AS h
+            FROM e JOIN a{i} a ON e.dst = a.node GROUP BY 1
         )""")
         prev_h = f"h{i}"
     return f"""
@@ -1120,9 +1121,13 @@ def _hits_oracle(n_iter: int = 3) -> str:
             SELECT DISTINCT src AS node, 1.0 AS h FROM e
         ), {", ".join(rounds)}
         SELECT node, 'authority' AS role,
-               ROUND(a * 1000, 6) AS score_permille FROM a{n_iter}
+               ROUND(a / (SELECT SUM(a) FROM a{n_iter}) * 1000, 6)
+                   AS score_permille
+        FROM a{n_iter}
         UNION ALL
-        SELECT node, 'hub', ROUND(h * 1000, 6) FROM h{n_iter}
+        SELECT node, 'hub',
+               ROUND(h / (SELECT SUM(h) FROM h{n_iter}) * 1000, 6)
+        FROM h{n_iter}
         ORDER BY role, node
     """
 
@@ -1135,11 +1140,13 @@ def _hits_oracle(n_iter: int = 3) -> str:
     "graph: authority = a part sourced by well-connected suppliers, "
     "hub = a supplier stocking authoritative parts — the "
     "mutually-reinforcing centrality pair PageRank's single score "
-    "(q70) cannot express. Per round two equi-joins of the persisted "
-    "edge list against a node-score table + two map-side-combined "
-    "sums + 1-row normalizer broadcasts: O(rounds x |E|), the q70 "
-    "shuffle shape. L1 instead of L2 normalization keeps every step "
-    "sum+divide (no sqrt), so the oracle unrolls the rounds exactly",
+    "(q70) cannot express. Per round exactly two equi-joins of the "
+    "persisted edge list against a node-score table + two "
+    "map-side-combined sums: O(rounds x |E|), the q70 shuffle shape. "
+    "L1 normalization (no sqrt) applied ONCE at the end — scalar "
+    "normalizers cancel through the alternating linear updates, so "
+    "the textbook per-round normalizer agg+broadcast is dead weight — "
+    "and the oracle unrolls the identical float path",
     tags=("graph", "iterative"),
 )
 def q159_hits(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -296,20 +296,22 @@ def test_hits_matches_power_iteration(spark, edges, n_iter):
     from amadou_spark.operators.graph import hits
 
     es = sorted(set(edges))
-    # driver-side reference: same L1-normalized alternating updates
+    # driver-side reference: raw alternating sums, L1 normalize once
+    # at the end (the operator's scheme — scalars cancel through the
+    # linear updates, so this equals the per-round-normalized loop)
     hub = {s: 1.0 for s, _ in es}
     auth = {}
     for _ in range(n_iter):
         auth = {}
         for s, d in es:
             auth[d] = auth.get(d, 0.0) + hub.get(s, 0.0)
-        tot = sum(auth.values())
-        auth = {k: v / tot for k, v in auth.items()}
         hub = {}
         for s, d in es:
             hub[s] = hub.get(s, 0.0) + auth[d]
-        tot = sum(hub.values())
-        hub = {k: v / tot for k, v in hub.items()}
+    tot = sum(auth.values())
+    auth = {k: v / tot for k, v in auth.items()}
+    tot = sum(hub.values())
+    hub = {k: v / tot for k, v in hub.items()}
     df = spark.createDataFrame(es, "src long, dst long")
     got_h, got_a = {}, {}
     for r in hits(df, n_iter=n_iter).collect():

@@ -144,7 +144,7 @@ REVIEW = {
     "llm_dedup_cross_source": "only 32-byte md5 hashes shuffle; hash equi-join bounded by dup-group sizes; source-pair matrix output bounded by |sources|^2",
     "q157_levene_test": "q148 shape on |x - group median|: exact 5-row median table broadcast back, ONE map-side-combined moment agg over the deviations",
     "q158_psi_drift": "bounds = 1-row broadcast; everything collapses to the <=2x10x|types| cell grid in ONE map-side-combined agg; PSI closed-form on the grid",
-    "q159_hits": "q70 shape: per round two equi-joins vs node-score tables + two map-side sums + 1-row normalizer broadcasts; O(rounds x |E|), lineage cut per round",
+    "q159_hits": "q70 shape: per round exactly two equi-joins vs node-score tables + two map-side sums; L1 normalize ONCE at the end (scalars cancel through linear updates); lineage cut per round",
 }
 
 
