@@ -123,14 +123,22 @@ def test_no_single_partition_sorts_outside_allowlist(spark, sf_dir):
 
     _load()
     bad: dict[str, list[str]] = {}
+    cartesian: list[str] = []
     for name, q in REGISTRY.items():
-        if name in SP_ALLOWLIST:
-            continue
         df = q.fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # piggybacked registry-wide invariant: no CartesianProduct
+        # anywhere — every intentional cross is a 1-row/bounded
+        # broadcast (BroadcastNestedLoopJoin Cross), and a Cartesian
+        # here means a join lost its equi-key (O(n*m) at scale)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if name in SP_ALLOWLIST:
+            continue
         hits = single_partition_sort_exchanges(plan)
         if hits:
             bad[name] = hits
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not bad, f"unallowlisted SinglePartition sorts: {bad}"
 
 
