@@ -810,6 +810,11 @@ def q118_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = rfm.agg(F.count("*").cast("bigint").alias("n_total"))
+    # each rank keeps global_rank's internal materialize: it doubles as
+    # the lineage CUT that stops each level's counts+rank branches from
+    # embedding the previous level's whole subtree twice (2^depth plan
+    # blowup), and frees the previous level's blocks promptly between
+    # repeated invocations
     ranked = global_rank(rfm, ["last_order", "o_custkey"], "rk_r")
     ranked = global_rank(ranked, ["freq", "o_custkey"], "rk_f")
     ranked = global_rank(ranked, ["monetary", "o_custkey"], "rk_m")

@@ -522,9 +522,16 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", nullify(F.col("c_mktsegment")).alias("seg")
     )
     return (
-        global_rank(base, ["seg", "c_custkey"], "pos")
+        global_rank(
+            base, ["seg", "c_custkey"], "pos", deterministic_input=True
+        )
         .select("c_custkey", "seg", "pos")
-        .orderBy("pos")
+        # already globally pos-ordered: global_rank leaves the frame
+        # range-partitioned + sorted by (seg, c_custkey), the exact
+        # order pos was stamped in, and the offsets join is narrow —
+        # sortWithinPartitions re-asserts the order for the collector
+        # without the range re-sample + full shuffle an orderBy plans
+        .sortWithinPartitions("pos")
     )
 
 

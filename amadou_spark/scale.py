@@ -39,6 +39,7 @@ def global_rank(
     order_cols: list[str],
     rank_name: str = "rank",
     num_partitions: int | None = None,
+    deterministic_input: bool = False,
 ) -> DataFrame:
     """Distributed GLOBAL dense row-number over ``order_cols`` (which
     must form a total order — include a unique tie-break column) via
@@ -53,13 +54,38 @@ def global_rank(
        is (partition id << 33) | local record index, i.e. a free
        per-partition row number with NO window and NO second exchange
        (this is exactly RDD.zipWithIndex re-expressed in DataFrame
-       terms). The stamped frame is materialized once so the ids the
-       offset table was computed from are the ids the ranks read
-       (lazy re-evaluation could re-sample range boundaries).
-    2. Per-partition row counts (a #partitions-row aggregate) become
-       starting offsets with a driver-side prefix sum — the same
-       bounded control collect RDD.zipWithIndex performs; never a
-       data-sized action.
+       terms). By default the stamped frame is materialized once so
+       the ids the offset table was computed from are the ids the
+       ranks read (lazy re-evaluation of a shuffle-parented input can
+       reorder rows per partition, re-sampling range boundaries).
+       With ``deterministic_input=True`` the caller asserts the input
+       plan is order-stable per partition — a raw file scan (Spark
+       plans splits and orders files deterministically per session
+       conf) or a checkpointed/``materialize_shared`` frame — and the
+       materialization (a full extra job + a copy of the data) is
+       skipped: the counts branch and the rank branch then reference
+       the SAME stamped subtree, which Spark's ReuseExchange rule
+       materializes once (the explicit partition count also pins AQE
+       from re-coalescing the range exchange), and even two
+       independent evaluations would agree because RangePartitioner's
+       reservoir sampler is seeded per partition index, so identical
+       input order ⇒ identical boundaries, and the in-partition sort
+       re-establishes the total order before ids are stamped. Do NOT
+       chain ``deterministic_input=True`` calls: without the
+       materialize's lineage cut each level embeds the previous
+       level's whole subtree in BOTH its branches — 2^depth plan
+       growth (execution stays deduped via ReuseExchange, but
+       analysis cost and plan readability do not).
+    2. Per-partition row counts (a #partitions-row aggregate over the
+       materialized blocks) become starting offsets with a prefix sum
+       expressed as a broadcast theta self-join of the counts table
+       against itself (``offset(p) = SUM(count(p') FOR p' < p)``,
+       BroadcastNestedLoopJoin over <= #partitions rows per side) —
+       IN the result plan, so no separate driver action fires: where
+       RDD.zipWithIndex runs an eager counts job + a driver prefix
+       sum, this folds both into the single downstream job. Never a
+       data-sized exchange and never an Exchange SinglePartition —
+       the counts/offsets tables are bounded by the partition count.
     3. rank = offset(partition) + local index + 1.
 
     Correct for ANY boundary placement the range sampler picks (and
@@ -76,23 +102,26 @@ def global_rank(
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    pinned = materialize_shared(
+    stamped = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_gr_mid", F.monotonically_increasing_id())
     )
+    pinned = stamped if deterministic_input else materialize_shared(stamped)
     pid = F.shiftright("_gr_mid", 33)
     local = F.col("_gr_mid").bitwiseAND((1 << 33) - 1)
     counts = pinned.groupBy(pid.alias("_gr_pid")).agg(
         F.count("*").alias("_gr_c")
     )
-    cum = 0
-    offset_rows = []
-    for row in sorted(counts.collect(), key=lambda r: r["_gr_pid"]):
-        offset_rows.append((row["_gr_pid"], cum))
-        cum += row["_gr_c"]
-    offsets = df.sparkSession.createDataFrame(
-        offset_rows or [(0, 0)], "_gr_pid bigint, _gr_off bigint"
+    prior = counts.select(
+        F.col("_gr_pid").alias("_gr_pid2"), F.col("_gr_c").alias("_gr_c2")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior), F.col("_gr_pid2") < F.col("_gr_pid"), "left"
+        )
+        .groupBy("_gr_pid")
+        .agg(F.coalesce(F.sum("_gr_c2"), F.lit(0)).alias("_gr_off"))
     )
     return (
         pinned.withColumn("_gr_pid", pid)

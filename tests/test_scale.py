@@ -251,6 +251,22 @@ def test_global_rank_matches_window_row_number(spark):
         ).collect()
     }
     assert got == want
+    # deterministic_input=True (skip the materialize) must produce the
+    # same exact ranks: the counts branch and the rank branch share the
+    # stamped subtree (ReuseExchange), so offsets always line up.  Run
+    # it twice — a re-evaluation may not disagree with itself either.
+    for _ in range(2):
+        got_det = {
+            r["id"]: r["rk"]
+            for r in global_rank(
+                df,
+                ["k", "id"],
+                "rk",
+                num_partitions=16,
+                deterministic_input=True,
+            ).collect()
+        }
+        assert got_det == want
     # more partitions than rows: offsets must still be exact
     tiny = spark.createDataFrame([(1, "b"), (2, "a")], "id int, k string")
     got2 = sorted(

@@ -103,16 +103,25 @@ def main() -> int:
             n_bad += 1
             print(f"[FAIL] {name}: {detail[:200]}", flush=True)
 
+    # a subset run refreshes its rows INSIDE the full artifact rather
+    # than clobbering the registry-wide audit record
+    merged = results
+    artifact = os.path.join(REPO, "DETERMINISM.json")
+    if names and os.path.exists(artifact):
+        with open(artifact) as f:
+            prior = json.load(f).get("queries", {})
+        prior.update(results)
+        merged = prior
     out = {
         "audit": "same-session double execution under perturbed "
         "shuffle layout (partitions 32+AQE-coalesce vs 7, no coalesce); "
         "sign-sensitive canonical multiset compare",
         "sf_dir": sf_dir,
-        "n_ok": len(results) - n_bad,
-        "n_audited": len(results),
-        "queries": results,
+        "n_ok": sum(1 for v in merged.values() if v.get("ok")),
+        "n_audited": len(merged),
+        "queries": merged,
     }
-    with open(os.path.join(REPO, "DETERMINISM.json"), "w") as f:
+    with open(artifact, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{len(results) - n_bad}/{len(results)} deterministic")
     return 1 if n_bad else 0
