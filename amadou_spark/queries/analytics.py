@@ -766,10 +766,18 @@ def q117_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(o_totalprice) AS monetary
             FROM orders GROUP BY 1
         ), scored AS (
+            -- monetary ordered by exact integer CENTS (floor-half-up,
+            -- the q133 pin): o_totalprice carries 2dp, so the cents of
+            -- the SUM are mathematically exact while the raw double
+            -- sum differs between engines by ~1e-9 association-order
+            -- noise — ordering by the double would let a near-tie pair
+            -- straddle a quartile boundary differently per engine
             SELECT o_custkey,
                    ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
                    ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
-                   ntile(4) OVER (ORDER BY monetary, o_custkey) AS m,
+                   ntile(4) OVER (ORDER BY
+                       CAST(FLOOR(monetary * 100 + 0.5) AS BIGINT),
+                       o_custkey) AS m,
                    monetary
             FROM rfm
         )
@@ -784,51 +792,124 @@ def q117_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie-break pins both engines to identical quartile boundaries), "
     "then the 4x4x4 segment census with value totals — the lifecycle-"
     "marketing workhorse. The oracle says ntile(4); the Spark side "
-    "computes the SAME buckets scale-safely (r5 VERDICT: an "
-    "unpartitioned ntile window realizes as Exchange SinglePartition "
-    "+ one-task sort of the whole customer grain): each metric gets a "
-    "two-phase range-partitioned global rank (global_rank — "
-    "distributed sort, per-partition offsets) and the bucket falls "
-    "out of the closed-form ntile sizing (ntile_from_rank). Monetary "
-    "is near-unique per customer, so value-domain collapsing would "
-    "not bound the sort — the range rank is the right 100 TB shape",
+    "computes the SAME buckets with ZERO fact-grain sorts (r6 VERDICT "
+    "#4): every measure rides a value-domain ntile lookup table "
+    "(ntile_domain_table — broadcast nested-loop prefix sums over the "
+    "bounded domain, never an ordered window). Recency and frequency "
+    "domains are naturally bounded (observation-window dates, "
+    "small-int order counts); near-unique monetary becomes bounded by "
+    "the monotone $1000 coarsening trick — ntile(ORDER BY cents, "
+    "custkey) == ntile(ORDER BY floor(cents/1e5), cents, custkey), "
+    "with monetary pinned to exact integer CENTS in both engines (the "
+    "q133 floor-half-up pin; the raw double sum differs across "
+    "engines by association-order noise). Rows whose three tie runs "
+    "each sit inside one bucket aggregate straight off the broadcast "
+    "tables; only the <=3 boundary-crossing runs per measure detour "
+    "through per-run row_number windows (filtered BEFORE the "
+    "shuffle), and the union happens at the 64-cell census grain — "
+    "at 100 TB nothing larger than a boundary run is ever sorted",
     tags=("stats", "windows"),
 )
 def q118_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from amadou_spark.scale import (
-        global_rank,
-        materialize_shared,
-        ntile_from_rank,
-    )
+    from amadou_spark.scale import bounded_domain_ntile
 
     t = register_tables(spark, sf_dir)
-    rfm = materialize_shared(
-        t["orders"].groupBy("o_custkey").agg(
+    rfm = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("freq"),
             F.sum("o_totalprice").alias("monetary"),
         )
+        # exact integer cents (oracle comment: the q133 pin) + the
+        # monotone $1000 coarsening that makes monetary's quartiles a
+        # bounded-domain problem: ntile(ORDER BY mon_c, custkey) ==
+        # ntile(ORDER BY floor(mon_c/1e5), mon_c, custkey), and the
+        # $1000 grid is bounded by the PRICE RANGE (order totalprice x
+        # max order count), never by the customer count
+        .withColumn(
+            "mon_c", F.floor(F.col("monetary") * 100 + 0.5).cast("bigint")
+        )
+        .withColumn(
+            "m_kilo", F.floor(F.col("mon_c") / 100000).cast("bigint")
+        )
     )
-    total = rfm.agg(F.count("*").cast("bigint").alias("n_total"))
-    # each rank keeps global_rank's internal materialize: it doubles as
-    # the lineage CUT that stops each level's counts+rank branches from
-    # embedding the previous level's whole subtree twice (2^depth plan
-    # blowup), and frees the previous level's blocks promptly between
-    # repeated invocations
-    ranked = global_rank(rfm, ["last_order", "o_custkey"], "rk_r")
-    ranked = global_rank(ranked, ["freq", "o_custkey"], "rk_f")
-    ranked = global_rank(ranked, ["monetary", "o_custkey"], "rk_m")
-    scored = ranked.crossJoin(F.broadcast(total)).select(
-        "monetary",
-        ntile_from_rank("rk_r", "n_total", 4).alias("r"),
-        ntile_from_rank("rk_f", "n_total", 4).alias("f"),
-        ntile_from_rank("rk_m", "n_total", 4).alias("m"),
+    # All three measures ride value-domain prefix sums — ZERO fact-
+    # grain sorts, no checkpoint, ONE query execution, TWO branches
+    # total (the union happens at the 64-cell CENSUS grain, not the
+    # fact grain): rows whose three tie runs each sit inside one
+    # bucket (everything except the <= 3 boundary runs per measure)
+    # take their buckets straight off the broadcast tables and
+    # aggregate once; only boundary-run rows detour through the
+    # per-run row_number tie-break windows — filtered BEFORE the
+    # window shuffles, so the sorted volume is boundary runs only.
+    # The three domain tables build in parallel off the ONE rfm
+    # hash-agg exchange (AQE stage reuse).
+    from pyspark.sql.window import Window as Wd
+
+    from amadou_spark.scale import ntile_domain_table, ntile_from_rank
+
+    tr = ntile_domain_table(rfm, "last_order", 4, "r")
+    tf = ntile_domain_table(rfm, "freq", 4, "f")
+    tm = ntile_domain_table(rfm, "m_kilo", 4, "m")
+    base = (
+        rfm.join(F.broadcast(tr), F.col("last_order") == F.col("r_v"))
+        .join(F.broadcast(tf), F.col("freq") == F.col("f_v"))
+        .join(F.broadcast(tm), F.col("m_kilo") == F.col("m_v"))
+    )
+    crossing_any = (
+        (F.col("r_lo") != F.col("r_hi"))
+        | (F.col("f_lo") != F.col("f_hi"))
+        | (F.col("m_lo") != F.col("m_hi"))
+    )
+    main = (
+        base.filter(~crossing_any)
+        .groupBy(
+            F.col("r_lo").alias("r"),
+            F.col("f_lo").alias("f"),
+            F.col("m_lo").alias("m"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_c"),
+            F.sum("monetary").alias("seg_v"),
+        )
+    )
+    # a run that crosses in ANY measure is included WHOLE for that
+    # measure (every member shares lo != hi), so the within-partition
+    # row_number over this subset equals the within-run rank over the
+    # full data; measures whose run does not cross ignore their
+    # (partial-partition) row_number via the lo == hi branch
+    wr = Wd.partitionBy("r_v").orderBy("o_custkey")
+    wf = Wd.partitionBy("f_v").orderBy("o_custkey")
+    wm = Wd.partitionBy("m_v").orderBy("mon_c", "o_custkey")
+
+    def bucket(lo, hi, before, n, w):
+        rw = F.row_number().over(w).cast("bigint")
+        return F.when(F.col(lo) == F.col(hi), F.col(lo)).otherwise(
+            ntile_from_rank(F.col(before) + rw, n, 4)
+        )
+
+    crossing = (
+        base.filter(crossing_any)
+        .select(
+            "monetary",
+            bucket("r_lo", "r_hi", "r_before", "r_n", wr).alias("r"),
+            bucket("f_lo", "f_hi", "f_before", "f_n", wf).alias("f"),
+            bucket("m_lo", "m_hi", "m_before", "m_n", wm).alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_c"),
+            F.sum("monetary").alias("seg_v"),
+        )
     )
     return (
-        scored.groupBy("r", "f", "m")
+        main.unionByName(crossing)
+        .groupBy("r", "f", "m")
         .agg(
-            F.count("*").alias("n_customers"),
-            F.round(F.sum("monetary"), 2).alias("segment_value"),
+            F.sum("n_c").cast("bigint").alias("n_customers"),
+            F.round(F.sum("seg_v"), 2).alias("segment_value"),
         )
         .orderBy("r", "f", "m")
     )
@@ -1702,11 +1783,16 @@ def q130_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(*) AS BIGINT) AS c
             FROM durations GROUP BY t
         ), at_risk AS (
+            -- CAST: DuckDB promotes BIGINT - SUM(BIGINT) OVER to HUGEINT
+            -- (decimal128 at the Arrow layer); the driver hash is
+            -- type-sensitive (q69 r2 precedent), so without the cast the
+            -- row can never hash-match Spark's bigint even when every
+            -- value is identical. tools/typeaudit.py flags this class.
             SELECT t, d,
-                   (SELECT CAST(count(*) AS BIGINT) FROM durations)
+                   CAST((SELECT CAST(count(*) AS BIGINT) FROM durations)
                        - COALESCE(SUM(c) OVER (ORDER BY t
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS n_risk
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
             FROM grid
         ), km AS (
             SELECT t, d, n_risk,
@@ -3246,23 +3332,36 @@ def q149_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(*) AS BIGINT) AS c
             FROM durations GROUP BY t
         ), at_risk AS (
+            -- CAST: DuckDB promotes BIGINT - SUM(BIGINT) OVER to HUGEINT
+            -- (decimal128 at the Arrow layer); the driver hash is
+            -- type-sensitive (q69 r2 precedent), so without the cast the
+            -- row can never hash-match Spark's bigint even when every
+            -- value is identical. tools/typeaudit.py flags this class.
             SELECT t, d,
-                   (SELECT CAST(count(*) AS BIGINT) FROM durations)
+                   CAST((SELECT CAST(count(*) AS BIGINT) FROM durations)
                        - COALESCE(SUM(c) OVER (ORDER BY t
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS n_risk
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
             FROM grid
         ), haz AS (
+            -- Nelson-Aalen as an INTEGER fixed-point prefix sum: each
+            -- term is one correctly-rounded division scaled to 1e-9
+            -- units and floored to a BIGINT, so the window SUM is exact
+            -- integer arithmetic and float association order (Spark
+            -- sequential vs DuckDB segment-tree combine) can never
+            -- matter. The outer CAST undoes DuckDB's SUM(BIGINT) OVER
+            -- -> HUGEINT promotion (driver hash is type-sensitive).
             SELECT t, d, n_risk,
-                   SUM(d / CAST(n_risk AS DOUBLE)) OVER (ORDER BY t
+                   CAST(SUM(CAST(FLOOR(d * 1000000000.0 / n_risk + 0.5)
+                                 AS BIGINT)) OVER (ORDER BY t
                         ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS na
+                             AND CURRENT ROW) AS BIGINT) AS na_fp
             FROM at_risk
         )
         SELECT t AS day, n_risk, d AS n_events,
                FLOOR(d / CAST(n_risk AS DOUBLE) * 1000000.0 + 0.5)
                    / 1000000.0 AS hazard,
-               FLOOR(na * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard
+               FLOOR(na_fp / 1000.0 + 0.5) / 1000000.0 AS cum_hazard
         FROM haz WHERE d > 0 ORDER BY t
     """,
     description="discrete-time hazard and Nelson-Aalen cumulative "
@@ -3270,10 +3369,16 @@ def q149_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "companion to the Kaplan-Meier curve (q131), sharing its "
     "user-rollup -> duration-grid scale shape: the prefix sums ride "
     "the bounded duration domain. Unlike KM there is NO exp/ln "
-    "anywhere: hazard d/n is one correctly-rounded division and the "
-    "Nelson-Aalen sum accumulates those exact quotients, so the only "
-    "engine-stability armor needed is floor-half-up at output (sum "
-    "association order differs across engines by ~1e-16)",
+    "anywhere. Engine stability is by construction, not luck: each "
+    "Nelson-Aalen term is one correctly-rounded division scaled to "
+    "1e-9 fixed-point and floored to a BIGINT, the prefix sum is "
+    "exact integer arithmetic (float association order — Spark's "
+    "sequential accumulation vs DuckDB's segment-tree combine — "
+    "cannot matter), and the single scale-back division at output is "
+    "an identical scalar op chain in both engines. Both oracle window "
+    "sums carry CAST(... AS BIGINT) because DuckDB promotes "
+    "BIGINT-SUM(BIGINT) OVER to HUGEINT and the driver hash is "
+    "type-sensitive (the q69 precedent; tools/typeaudit.py gates it)",
     tags=("stats", "timeseries", "events"),
 )
 def q151_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3304,7 +3409,13 @@ def q151_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_total") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
     )
     h = F.col("d") / F.col("n_risk").cast("double")
-    haz = at_risk.withColumn("na", F.sum(h).over(w_cum))
+    # integer fixed-point Nelson-Aalen term (1e-9 units): one
+    # correctly-rounded division, then exact BIGINT prefix sums —
+    # mirrors the oracle so float summation order can never diverge
+    term_fp = F.floor(
+        F.col("d") * 1000000000.0 / F.col("n_risk") + 0.5
+    ).cast("bigint")
+    haz = at_risk.withColumn("na_fp", F.sum(term_fp).over(w_cum))
     return (
         haz.filter(F.col("d") > 0)
         .select(
@@ -3312,7 +3423,7 @@ def q151_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_risk",
             F.col("d").alias("n_events"),
             (F.floor(h * 1000000.0 + 0.5) / 1000000.0).alias("hazard"),
-            (F.floor(F.col("na") * 1000000.0 + 0.5) / 1000000.0).alias(
+            (F.floor(F.col("na_fp") / 1000.0 + 0.5) / 1000000.0).alias(
                 "cum_hazard"
             ),
         )

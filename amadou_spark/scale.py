@@ -156,6 +156,173 @@ def ntile_from_rank(rank_col, n_col, k: int):
     ).otherwise(r + F.floor((rn - big + q - 1) / q)).cast("int")
 
 
+def ntile_domain_table(
+    counts_input: DataFrame,
+    value_col: str,
+    k: int,
+    prefix: str,
+) -> DataFrame:
+    """Domain-sized ntile lookup table for a bounded-domain measure:
+    one row per distinct ``value_col`` with columns ``{prefix}_v``
+    (the value), ``{prefix}_c`` (its row count), ``{prefix}_before``
+    (prefix-sum of counts over smaller values), ``{prefix}_n`` (grand
+    total) and ``{prefix}_lo``/``{prefix}_hi`` — the ntile(k) bucket of
+    the tie run's FIRST and LAST global rank (:func:`ntile_from_rank`
+    sizing). ``lo == hi`` means the whole run lands in one bucket.
+
+    Plan shape: one map-side-combinable count agg, then ONE
+    domain x domain broadcast nested-loop pass computing the prefix
+    sum AND the grand total as conditional sums (|domain|^2
+    intermediate rows, data-size-independent) — never an ordered
+    window, never an Exchange SinglePartition. The ``prefix`` makes
+    several measures' tables joinable onto one frame without column
+    collisions (the q118 assembly).
+    """
+    counts = counts_input.groupBy(F.col(value_col).alias(f"{prefix}_v")).agg(
+        F.count("*").cast("bigint").alias(f"{prefix}_c")
+    )
+    other = counts.select(
+        F.col(f"{prefix}_v").alias("_ndt_v2"),
+        F.col(f"{prefix}_c").alias("_ndt_c2"),
+    )
+    pre = (
+        counts.crossJoin(F.broadcast(other))
+        .groupBy(f"{prefix}_v", f"{prefix}_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_ndt_v2") < F.col(f"{prefix}_v"),
+                    F.col("_ndt_c2"),
+                )
+            ).alias("_ndt_raw_before"),
+            F.sum("_ndt_c2").cast("bigint").alias(f"{prefix}_n"),
+        )
+        .select(
+            f"{prefix}_v",
+            f"{prefix}_c",
+            f"{prefix}_n",
+            F.coalesce(F.col("_ndt_raw_before"), F.lit(0)).alias(
+                f"{prefix}_before"
+            ),
+        )
+    )
+    return pre.select(
+        f"{prefix}_v",
+        f"{prefix}_c",
+        f"{prefix}_n",
+        f"{prefix}_before",
+        ntile_from_rank(
+            F.col(f"{prefix}_before") + 1, f"{prefix}_n", k
+        ).alias(f"{prefix}_lo"),
+        ntile_from_rank(
+            F.col(f"{prefix}_before") + F.col(f"{prefix}_c"),
+            f"{prefix}_n",
+            k,
+        ).alias(f"{prefix}_hi"),
+    )
+
+
+def bounded_domain_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str | list[str],
+    k: int,
+    out_name: str,
+    keep_n: str | None = None,
+    counts_input: DataFrame | None = None,
+) -> DataFrame:
+    """Per-row SQL-standard ``ntile(k) OVER (ORDER BY value_col,
+    tiebreak_col)`` for a measure whose VALUE DOMAIN is bounded (dates
+    inside an observation window, small-int counts, fixed-precision
+    money) — the cheap alternative to :func:`global_rank` when the
+    domain collapses (VERDICT r6 #4: a bounded domain never needs a
+    full range-exchange sort of the fact grain).
+
+    Plan shape (zero data-sized sorts, zero SinglePartition):
+
+    1. Collapse to per-distinct-value counts (map-side combinable).
+    2. Prefix sums over the value domain via the broadcast theta
+       self-join trick (``before(v) = SUM(c(v') FOR v' < v)``) —
+       BroadcastNestedLoopJoin over domain-sized tables, never an
+       ordered window, never an Exchange SinglePartition.
+    3. Each tie run covers global ranks ``(before, before+c]``; the
+       ntile bucket of its first and last rank comes from the
+       closed-form :func:`ntile_from_rank`. Runs that sit inside ONE
+       bucket (the overwhelming majority — at most k-1 runs can cross
+       a boundary) take that bucket straight off the broadcast join.
+    4. Only boundary-crossing runs need the tie-break: those rows get
+       ``row_number() OVER (PARTITION BY value ORDER BY tiebreak)`` —
+       a window over at most k-1 partitions of one tie run each,
+       filtered BEFORE the shuffle so the sorted volume is the
+       boundary runs only, never the fact grain.
+
+    Requires ``value_col`` non-null and ``tiebreak_col`` (one column
+    name or a list whose combination with ``value_col`` is unique —
+    e.g. ``["exact_measure", "pk"]`` when ``value_col`` is a monotone
+    COARSENING of an unbounded measure) forming a total order (the
+    standard ntile contract). Matches Spark's and DuckDB's ntile
+    sizing exactly (first n%k buckets hold one extra row).
+
+    The coarsening trick: ``ntile(ORDER BY x, pk)`` equals
+    ``ntile(ORDER BY floor(g(x)), x, pk)`` for any monotone ``g`` — so
+    an UNBOUNDED measure (per-customer revenue) rides this helper by
+    bucketing to a bounded grid (whole-$1000) as ``value_col`` and
+    keeping the exact measure in the tie-break: the domain table stays
+    range-bounded and only the <= k-1 grid runs straddling a boundary
+    ever get sorted.
+
+    ``keep_n``: optionally retain the total row count as a column of
+    that name on the output — it rides the broadcast table for free,
+    so callers that need ``n`` downstream (e.g. a sibling
+    :func:`ntile_from_rank` on an unbounded measure) skip a separate
+    count job over the input.
+
+    ``counts_input``: build the value-count table from this frame
+    instead of ``df``. When chaining several calls, each call's output
+    is a row-preserving permutation of the original frame, so the
+    counts are identical — pointing every call's counts at the ROOT
+    frame keeps the stage DAG wide (the count tables materialize in
+    parallel, off one reused root exchange) instead of serializing
+    each table behind the previous call's union. MUST have the same
+    row multiset on ``value_col`` as ``df`` — anything else silently
+    mis-buckets.
+    """
+    from pyspark.sql.window import Window
+
+    table = ntile_domain_table(
+        counts_input if counts_input is not None else df,
+        value_col,
+        k,
+        prefix="_bd",
+    )
+    joined = df.join(
+        F.broadcast(table), F.col(value_col) == F.col("_bd_v")
+    )
+    inside = joined.filter(F.col("_bd_lo") == F.col("_bd_hi")).withColumn(
+        out_name, F.col("_bd_lo")
+    )
+    tiebreaks = (
+        [tiebreak_col] if isinstance(tiebreak_col, str) else list(tiebreak_col)
+    )
+    w = Window.partitionBy("_bd_v").orderBy(*tiebreaks)
+    crossing = (
+        joined.filter(F.col("_bd_lo") != F.col("_bd_hi"))
+        .withColumn("_bd_rw", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            out_name,
+            ntile_from_rank(F.col("_bd_before") + F.col("_bd_rw"), "_bd_n", k),
+        )
+        .drop("_bd_rw")
+    )
+    out = inside.unionByName(crossing)
+    if keep_n:
+        out = out.withColumnRenamed("_bd_n", keep_n)
+        return out.drop("_bd_v", "_bd_c", "_bd_before", "_bd_lo", "_bd_hi")
+    return out.drop(
+        "_bd_v", "_bd_c", "_bd_before", "_bd_n", "_bd_lo", "_bd_hi"
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

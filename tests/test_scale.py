@@ -296,3 +296,49 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
         ).collect()
         for r in both:
             assert r["got"] == r["want"], (n, k, r)
+
+
+def test_bounded_domain_ntile_matches_spark_ntile(spark):
+    """bounded_domain_ntile must equal the unpartitioned
+    ntile(k) OVER (ORDER BY value, tiebreak) window exactly — on
+    duplicate-heavy values (tie runs straddling bucket boundaries),
+    k > distinct values, and n % k != 0."""
+    from pyspark.sql import Window as W
+
+    from amadou_spark.scale import bounded_domain_ntile
+
+    vals = [5, 3, 3, 7, 8, 1, 3, 3, 5, 2, 9, 0, 5, 3, 3, 7] * 5
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    for k in (1, 3, 4, 7, 50):
+        got = {
+            r["id"]: r["b"]
+            for r in bounded_domain_ntile(df, "v", "id", k, "b").collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(W.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_bounded_domain_ntile_plan_has_no_single_partition_sort(spark):
+    """The whole point of the helper: the plan must carry no
+    Exchange SinglePartition feeding a Sort/Window (the boundary-run
+    tie-break window partitions by value, never globally)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from plans import single_partition_sort_exchanges
+
+    from amadou_spark.scale import bounded_domain_ntile
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    out = bounded_domain_ntile(df, "v", "id", 4, "b")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert single_partition_sort_exchanges(plan) == []

@@ -93,7 +93,7 @@ REVIEW = {
     "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle",
     "q116_bitmap_intersection": "bitmap (type,bucket)->word table materialized once; pair overlap = bucket equi-join + bit_count sum, 64x smaller than distinct pairs",
     "q117_seasonal_index": "daily rollup is the only pass over raw events; per-type base joins back as a broadcast",
-    "q118_rfm_segments": "orders collapse to customer grain, then THREE two-phase range-partitioned global ranks (global_rank) + closed-form ntile sizing — no Exchange SinglePartition (r6 rewrite; the old unpartitioned ntiles were one-task sorts)",
+    "q118_rfm_segments": "orders collapse to customer grain; ALL THREE quartile measures ride value-domain ntile lookup tables (recency/frequency naturally bounded; monetary via exact-cents + monotone $1000 coarsening), boundary-run tie-breaks filtered before their windows, union at the 64-cell census grain — zero fact-grain sorts, zero checkpoints, zero Exchange SinglePartition (r7 rewrite per VERDICT r6 #4; was 3 global_rank passes)",
     "q119_rolling_distinct": "rolling 7d COUNT DISTINCT without a range join: (user,day) grain materialized once, bounded 7x sequence() fan-out, day list broadcast semi-join, one distinct agg",
     "q120_association_rules": "basket table materialized once feeds pair/item/total; a-priori ITEM prune semi-joins sub-threshold items out BEFORE the pair self-join (r6), min-support HAVING prunes again at the pair agg; supports broadcast back; top-25 by lift",
     "q121_snaive_backtest": "forecast = lag(7) so backtest is daily rollup + ONE window + one agg — zero joins",
