@@ -590,6 +590,10 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     Returns (node, role 'hub'|'authority', score DOUBLE, L1-normalized
     within each role).
     """
+    if n_iter < 1:
+        # auth is only bound inside the loop; zero rounds would crash
+        # on auth.agg below with a confusing NoneType error (ADVICE r6)
+        raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
     e = materialize_shared(edges.distinct())
     hub = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("h")

@@ -3558,9 +3558,16 @@ def q152_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(n AS BIGINT) AS n_days,
                CAST(nc AS BIGINT) AS concordant,
                CAST(nd AS BIGINT) AS discordant,
-               ROUND((nc - nd) / SQRT((n * (n - 1) / 2.0 - n1)
-                                      * (n * (n - 1) / 2.0 - n2)), 6)
-                   AS tau_b
+               -- explicit NULL on a zero denominator (all x or all y
+               -- tied within a type): DuckDB float division would
+               -- yield inf/nan where Spark yields NULL — pin both
+               -- engines to NULL by construction (ADVICE r6)
+               ROUND(CASE WHEN (n * (n - 1) / 2.0 - n1)
+                               * (n * (n - 1) / 2.0 - n2) > 0
+                          THEN (nc - nd)
+                               / SQRT((n * (n - 1) / 2.0 - n1)
+                                      * (n * (n - 1) / 2.0 - n2))
+                     END, 6) AS tau_b
         FROM pairs JOIN nn USING (event_type)
         JOIN tx USING (event_type) JOIN ty USING (event_type)
         ORDER BY event_type
@@ -3616,8 +3623,10 @@ def q153_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = F.col("n")
     n0 = n * (n - 1) / 2.0
-    tau = (F.col("nc") - F.col("nd")) / F.sqrt(
-        (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    denom = (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    # NULL on degenerate data (all x or all y tied): see oracle comment
+    tau = F.when(
+        denom > 0, (F.col("nc") - F.col("nd")) / F.sqrt(denom)
     )
     return (
         pairs.join(nn, "event_type")
@@ -3642,19 +3651,29 @@ def q153_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(*) AS DOUBLE) AS o
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
+        ), grid AS (
+            -- FULL observed-category grid (r7, ADVICE r6): an empty
+            -- seg x prio cell must still contribute its expected count
+            -- e to chi-square ((0-e)^2/e = e); summing observed cells
+            -- only understates the textbook statistic whenever a cell
+            -- is empty (possible at tiny scale factors)
+            SELECT s.seg, p.prio, COALESCE(c.o, 0.0) AS o
+            FROM (SELECT DISTINCT seg FROM cells) s
+            CROSS JOIN (SELECT DISTINCT prio FROM cells) p
+            LEFT JOIN cells c ON c.seg = s.seg AND c.prio = p.prio
         ), rt AS (
-            SELECT seg, SUM(o) AS r FROM cells GROUP BY seg
+            SELECT seg, SUM(o) AS r FROM grid GROUP BY seg
         ), ct AS (
-            SELECT prio, SUM(o) AS c FROM cells GROUP BY prio
+            SELECT prio, SUM(o) AS c FROM grid GROUP BY prio
         ), n AS (
-            SELECT SUM(o) AS n FROM cells
+            SELECT SUM(o) AS n FROM grid
         ), chi AS (
             SELECT SUM((o - r * c / n) * (o - r * c / n) / (r * c / n))
                        AS chi2,
                    MAX(n) AS n,
                    CAST(count(DISTINCT seg) AS DOUBLE) AS nr,
                    CAST(count(DISTINCT prio) AS DOUBLE) AS nc
-            FROM cells JOIN rt USING (seg) JOIN ct USING (prio)
+            FROM grid JOIN rt USING (seg) JOIN ct USING (prio)
             CROSS JOIN n
         )
         SELECT CAST(n AS BIGINT) AS n_rows,
@@ -3668,10 +3687,14 @@ def q153_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(complements the goodness-of-fit chi-square q123) a feature audit "
     "computes for every categorical/categorical pair. One fact-side "
     "hash join + ONE map-side-combined agg collapses everything to the "
-    "25-cell contingency table; row/column margins, chi-square and V "
-    "are closed-form arithmetic on that bounded grid. Cell counts are "
-    "exact integers, expected counts are two correctly-rounded ops on "
-    "identical doubles, and the 25-term sum gets floor-half-up armor",
+    "25-cell contingency table, completed to the FULL observed-"
+    "category grid (empty cells contribute their expected count e to "
+    "chi2 — the textbook definition; grid completion is a 5x5 "
+    "broadcast cross of the distinct margins). Row/column margins, "
+    "chi-square and V are closed-form arithmetic on that bounded "
+    "grid. Cell counts are exact integers, expected counts are two "
+    "correctly-rounded ops on identical doubles, and the 25-term sum "
+    "gets floor-half-up armor",
     tags=("stats", "tpch"),
 )
 def q154_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3685,12 +3708,21 @@ def q154_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("o"))
     )
-    rt = cells.groupBy("seg").agg(F.sum("o").alias("r"))
-    ct = cells.groupBy("prio").agg(F.sum("o").alias("c"))
-    nt = cells.agg(F.sum("o").alias("n"))
+    # full observed-category grid (see oracle comment): 5x5 broadcast
+    # cross of the distinct margins, empty cells coalesce to 0
+    grid = (
+        cells.select("seg")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("prio").distinct()))
+        .join(cells, ["seg", "prio"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0.0)))
+    )
+    rt = grid.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = grid.groupBy("prio").agg(F.sum("o").alias("c"))
+    nt = grid.agg(F.sum("o").alias("n"))
     e = F.col("r") * F.col("c") / F.col("n")
     chi = (
-        cells.join(F.broadcast(rt), "seg")
+        grid.join(F.broadcast(rt), "seg")
         .join(F.broadcast(ct), "prio")
         .crossJoin(F.broadcast(nt))
         .agg(
@@ -3892,8 +3924,13 @@ def q157_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN CAST(ts AS DATE) <= d0 + CAST(FLOOR(
                             date_diff('day', d0, d1) / 2) AS INTEGER)
                         THEN 0 ELSE 1 END AS half,
-                   LEAST(9, CAST(FLOOR((value - lo) * 10.0 / (hi - lo))
-                                 AS INTEGER)) AS bucket
+                   -- constant bucket when hi = lo (all values equal):
+                   -- both engines would otherwise divide by zero with
+                   -- different float semantics (ADVICE r6)
+                   CASE WHEN hi = lo THEN 0
+                        ELSE LEAST(9, CAST(FLOOR((value - lo) * 10.0
+                                                 / (hi - lo))
+                                           AS INTEGER)) END AS bucket
             FROM events CROSS JOIN bounds
         ), cells AS (
             SELECT event_type, half, bucket,
@@ -3947,11 +3984,16 @@ def q158_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         0,
     ).otherwise(1)
-    bucket = F.least(
-        F.lit(9),
-        F.floor(
-            (F.col("value") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))
-        ).cast("int"),
+    # constant bucket on a degenerate [lo, hi] range: see oracle comment
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * 10.0
+                / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+        )
     )
     cells = (
         t["events"]

@@ -1155,13 +1155,11 @@ def q159_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.operators.graph import hits
 
     t = register_tables(spark, sf_dir)
-    edges = (
-        t["lineitem"]
-        .select(
-            F.col("l_suppkey").cast("bigint").alias("src"),
-            F.col("l_partkey").cast("bigint").alias("dst"),
-        )
-        .distinct()
+    # no .distinct() here: hits() owns edge dedup (a caller-side
+    # distinct would shuffle+aggregate the edge list twice, ADVICE r6)
+    edges = t["lineitem"].select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        F.col("l_partkey").cast("bigint").alias("dst"),
     )
     return (
         hits(edges, n_iter=3)

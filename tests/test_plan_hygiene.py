@@ -189,3 +189,59 @@ def test_date_partition_pruning_reaches_scan(spark, tmp_path):
     assert [r.tag for r in got.select("tag").distinct().collect()] == [
         "2024-03-02"
     ]
+
+
+def test_deterministic_input_call_sites_are_audited():
+    """`global_rank(deterministic_input=True)` skips the pinning
+    materialize on a caller PROMISE that the input plan is
+    per-partition order-stable — nothing enforces it at runtime, and a
+    shuffle-parented nondeterministic input would produce silently
+    wrong ranks that still look plausible (ADVICE r6). Keep the
+    promise auditable: any new call site must be reviewed for the
+    order-stability contract and added here."""
+    import pathlib
+
+    audited = {
+        "amadou_spark/queries/tier_a.py",  # q20: raw file scan input
+    }
+    root = pathlib.Path(__file__).resolve().parents[1]
+    found = set()
+    for p in (root / "amadou_spark").rglob("*.py"):
+        if p.name == "scale.py":  # the definition + docstring
+            continue
+        if "deterministic_input=True" in p.read_text():
+            found.add(str(p.relative_to(root)))
+    assert found == audited, (
+        f"deterministic_input=True call sites changed: {found ^ audited}. "
+        "Audit the new site's input for per-partition order stability "
+        "(raw scan or checkpointed frame; never a chained global_rank) "
+        "and update the audited set."
+    )
+
+
+def test_q20_rank_tail_preserves_partition_order(spark, sf_dir):
+    """q20's global order contract (ADVICE r6): the offsets table must
+    join back via BroadcastHashJoin with NO exchange between the range
+    sort and the final sortWithinPartitions — a shuffle join there
+    (broadcast threshold / AQE change) would silently break the global
+    pos order that collect() relies on."""
+    _load()
+    df = REGISTRY["q20_sort_nulls"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    lines = plan.splitlines()
+    top_sort = next(
+        i for i, ln in enumerate(lines) if re.search(r"\bSort \[pos", ln)
+    )
+    # final sort is within-partition (global=false), not a range sort
+    assert "false" in lines[top_sort]
+    bhj = next(
+        i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln
+    )
+    assert bhj > top_sort
+    between = lines[top_sort + 1 : bhj]
+    assert not any(
+        "Exchange" in ln and "BroadcastExchange" not in ln
+        for ln in between
+    ), between
