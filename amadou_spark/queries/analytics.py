@@ -4022,3 +4022,71 @@ def q158_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q160_price_decile_bands",
+    oracle="""
+        WITH scored AS (
+            -- exact integer cents as the ordering key (the q133/q118
+            -- pin): o_totalprice carries 2dp, so its cents are exact
+            -- while raw-double comparisons near a decile boundary
+            -- could order differently per engine
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   ntile(10) OVER (ORDER BY
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                       o_orderkey) AS decile
+            FROM orders
+        )
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND(MIN(cents) / 100.0, 2) AS lo_price,
+               ROUND(MAX(cents) / 100.0, 2) AS hi_price,
+               ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2)
+                   AS band_value
+        FROM scored GROUP BY decile ORDER BY decile
+    """,
+    description="order-value decile bands: every order ntile(10)-"
+    "scored by total price (exact-cents key, orderkey tie-break), then "
+    "per-decile census with band boundaries and exact band revenue — "
+    "the price-segmentation table behind tiering and demand-curve "
+    "analyses. The oracle says ntile(10); the Spark side computes the "
+    "SAME deciles with ZERO fact-grain sorts via bounded_domain_ntile "
+    "and the monotone coarsening trick (q118): the value domain is the "
+    "$1000 price grid (bounded by the PRICE RANGE, data-size-"
+    "independent), rows whose grid run sits inside one decile take it "
+    "straight off the broadcast lookup table, and only the <= 9 "
+    "boundary-crossing runs get the (cents, orderkey) tie-break "
+    "window — filtered before the shuffle. Band revenue sums exact "
+    "BIGINT cents (order-free), divided once at output",
+    tags=("tpch", "windows", "scale"),
+)
+def q160_price_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import bounded_domain_ntile
+
+    t = register_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    ).withColumn(
+        "band", F.floor(F.col("cents") / 100000).cast("bigint")
+    )
+    scored = bounded_domain_ntile(
+        o, "band", ["cents", "o_orderkey"], 10, "decile"
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.min("cents") / 100.0, 2).alias("lo_price"),
+            F.round(F.max("cents") / 100.0, 2).alias("hi_price"),
+            F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias(
+                "band_value"
+            ),
+        )
+        .orderBy("decile")
+    )

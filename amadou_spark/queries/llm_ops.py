@@ -2549,3 +2549,80 @@ def llm_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
         .orderBy(F.col("n_dup_pairs").desc(), "source_a", "source_b")
     )
+
+
+@query(
+    "llm_corpus_length_gini",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+            FROM documents
+        ), r AS (
+            SELECT lang, x,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY x, doc_id) AS i
+            FROM toks
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               ROUND((2.0 * SUM(i * x) - (count(*) + 1) * SUM(x))
+                     / (count(*) * SUM(x)), 6) AS length_gini
+        FROM r GROUP BY lang ORDER BY lang
+    """,
+    description="Gini inequality of document token counts per language "
+    "— the corpus-balance diagnostic a pretraining-mix audit reads "
+    "next to the language histogram: high Gini means a few giant "
+    "documents dominate the language's token budget (so length-capped "
+    "sampling or chunking changes that language's effective mix most). "
+    "Rank formula G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)); the "
+    "oracle ranks docs directly, the Spark side computes the SAME "
+    "sums scale-safely (the q105 shape): docs collapse to per-(lang, "
+    "distinct token count) cells — token counts are a bounded domain "
+    "(max document length) — and a tie run of c docs at cumulative "
+    "offset C contributes x*(c*C + c*(c+1)/2) to SUM(i*x) exactly "
+    "(consecutive ranks over equal values; the doc_id tie-break can "
+    "never change the sum). The prefix-sum window rides the (lang, "
+    "count) domain, never the doc count; token counting is one "
+    "JVM-side size(split()) projection",
+    tags=("llm", "text", "stats"),
+)
+def llm_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("x"),
+    )
+    cnt = toks.groupBy("lang", "x").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_prev = (
+        W.partitionBy("lang")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = cnt.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+    )
+    # doubles before multiplying: c*C overflows BIGINT at ~1e10 rows
+    c_d = F.col("c").cast("double")
+    x_d = F.col("x").cast("double")
+    six = F.sum(
+        x_d
+        * (
+            c_d * F.col("cum_before").cast("double")
+            + c_d * (c_d + 1.0) / 2.0
+        )
+    )
+    n = F.sum("c")
+    sx = F.sum(x_d * c_d)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            F.round((2.0 * six - (n + 1) * sx) / (n * sx), 6).alias(
+                "length_gini"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -238,7 +238,13 @@ SP_ALLOWLIST: dict[str, str] = {
     "q145_mann_whitney": "collapsed 2-decimal acctbal value domain (q124 shape)",
     "q151_hazard_rate": "per-distinct-duration grid (q131 shape)",
     # whole-dollar price domain: <=~600k distinct values at any scale
-    # factor (bounded by the price range, not the row count)
+    # factor (bounded by the price range, not the row count).
+    # DECISION (r7, VERDICT r6 #5): ACCEPTED at this grain. With q118
+    # moved off global_rank this is the largest allowlisted single-task
+    # grain; ~600k slim (val, grp, c) rows is a ~20 MB one-task sort —
+    # data-size-independent and far under task limits. Coarsening to
+    # $10 buckets would change the midrank semantics (Kruskal-Wallis H
+    # is tie-corrected on the VALUE grid), so the honest bound stays.
     "q152_kruskal_wallis": "collapsed whole-dollar totalprice value domain (q124 shape)",
 }
 
