@@ -813,8 +813,10 @@ def q117_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.scale import bounded_domain_ntile
 
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
-    rfm = (
+    rfm = materialize_shared(
         t["orders"]
         .groupBy("o_custkey")
         .agg(
@@ -836,16 +838,19 @@ def q118_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # All three measures ride value-domain prefix sums — ZERO fact-
-    # grain sorts, no checkpoint, ONE query execution, TWO branches
-    # total (the union happens at the 64-cell CENSUS grain, not the
-    # fact grain): rows whose three tie runs each sit inside one
-    # bucket (everything except the <= 3 boundary runs per measure)
-    # take their buckets straight off the broadcast tables and
-    # aggregate once; only boundary-run rows detour through the
-    # per-run row_number tie-break windows — filtered BEFORE the
-    # window shuffles, so the sorted volume is boundary runs only.
-    # The three domain tables build in parallel off the ONE rfm
-    # hash-agg exchange (AQE stage reuse).
+    # grain sorts, TWO branches total (the union happens at the
+    # 64-cell CENSUS grain, not the fact grain): rows whose three tie
+    # runs each sit inside one bucket (everything except the <= 3
+    # boundary runs per measure) take their buckets straight off the
+    # broadcast tables and aggregate once; only boundary-run rows
+    # detour through the per-run row_number tie-break windows —
+    # filtered BEFORE the window shuffles, so the sorted volume is
+    # boundary runs only. rfm is CHECKPOINTED because exchange reuse
+    # cannot dedup it: column pruning specializes each consumer's copy
+    # (the three counts tables and both branches each keep different
+    # columns, so the agg exchanges are not canonically equal —
+    # measured: 21 duplicate o_custkey exchanges without the
+    # materialize). One orders scan + one fact-grain shuffle total.
     from pyspark.sql.window import Window as Wd
 
     from amadou_spark.scale import ntile_domain_table, ntile_from_rank
@@ -4060,7 +4065,10 @@ def q158_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "straight off the broadcast lookup table, and only the <= 9 "
     "boundary-crossing runs get the (cents, orderkey) tie-break "
     "window — filtered before the shuffle. Band revenue sums exact "
-    "BIGINT cents (order-free), divided once at output",
+    "BIGINT cents (order-free), divided once at output. Unlike q118 "
+    "(whose input is an AGGREGATE worth checkpointing), the branch "
+    "re-reads here are pruned 1-2 column parquet scans — at any scale "
+    "cheaper than materializing a row-format copy of the fact table",
     tags=("tpch", "windows", "scale"),
 )
 def q160_price_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

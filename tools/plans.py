@@ -93,7 +93,7 @@ REVIEW = {
     "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle",
     "q116_bitmap_intersection": "bitmap (type,bucket)->word table materialized once; pair overlap = bucket equi-join + bit_count sum, 64x smaller than distinct pairs",
     "q117_seasonal_index": "daily rollup is the only pass over raw events; per-type base joins back as a broadcast",
-    "q118_rfm_segments": "orders collapse to customer grain; ALL THREE quartile measures ride value-domain ntile lookup tables (recency/frequency naturally bounded; monetary via exact-cents + monotone $1000 coarsening), boundary-run tie-breaks filtered before their windows, union at the 64-cell census grain — zero fact-grain sorts, zero checkpoints, zero Exchange SinglePartition (r7 rewrite per VERDICT r6 #4; was 3 global_rank passes)",
+    "q118_rfm_segments": "orders collapse to the customer grain ONCE (checkpointed — column pruning specializes each consumer's copy of the agg, so exchange reuse can't dedup it: 21 duplicate exchanges measured without the materialize); ALL THREE quartile measures then ride value-domain ntile lookup tables (recency/frequency naturally bounded; monetary via exact-cents + monotone $1000 coarsening), boundary-run tie-breaks filtered before their windows, union at the 64-cell census grain — zero fact-grain sorts, zero Exchange SinglePartition (r7 rewrite per VERDICT r6 #4; was 3 global_rank passes)",
     "q119_rolling_distinct": "rolling 7d COUNT DISTINCT without a range join: (user,day) grain materialized once, bounded 7x sequence() fan-out, day list broadcast semi-join, one distinct agg",
     "q120_association_rules": "basket table materialized once feeds pair/item/total; a-priori ITEM prune semi-joins sub-threshold items out BEFORE the pair self-join (r6), min-support HAVING prunes again at the pair agg; supports broadcast back; top-25 by lift",
     "q121_snaive_backtest": "forecast = lag(7) so backtest is daily rollup + ONE window + one agg — zero joins",
@@ -145,6 +145,8 @@ REVIEW = {
     "q157_levene_test": "q148 shape on |x - group median|: exact 5-row median table broadcast back, ONE map-side-combined moment agg over the deviations",
     "q158_psi_drift": "bounds = 1-row broadcast; everything collapses to the <=2x10x|types| cell grid in ONE map-side-combined agg; PSI closed-form on the grid",
     "q159_hits": "q70 shape: per round exactly two equi-joins vs node-score tables + two map-side sums; L1 normalize ONCE at the end (scalars cancel through linear updates); lineage cut per round",
+    "q160_price_decile_bands": "deciles off a broadcast $1000-grid lookup table (bounded by the price range); only the <=9 boundary-crossing grid runs reach the tie-break window, filtered before the shuffle; band revenue = exact BIGINT cents sums",
+    "llm_corpus_length_gini": "q105 shape: docs collapse to per-(lang, distinct token count) cells; tie-run rank sums in closed form off a per-lang prefix sum — no doc-grain rank window",
 }
 
 

@@ -108,7 +108,7 @@ EXPECTED = {
     # r6: the rank-window rewrites — measured evidence that the
     # SinglePartition fixes scale the way their plans claim
     "q105_gini": ("value-domain collapse + per-priority prefix sums, linear", 1.3),
-    "q118_rfm_segments": ("three two-phase range-rank passes, linear", 1.3),
+    "q118_rfm_segments": ("value-domain ntile lookups, boundary-run windows only (r7)", 1.3),
     "q122_exact_quantiles": ("value-domain collapse + rank selection, linear", 1.3),
     "llm_curriculum_order": ("length histogram + bounded group offsets, linear", 1.3),
     # r6 new operators with quadratic/iterative shapes worth measuring
@@ -125,6 +125,9 @@ EXPECTED = {
     "llm_dedup_overlap": ("inverted index, linear at fixed posting sizes", 1.3),
     "llm_dedup_cross_source": ("32-byte hash equi-join, linear at fixed dup-group sizes", 1.3),
     "q159_hits": ("O(rounds * |E|) score joins, rounds fixed", 1.3),
+    # r7: the q118 de-sort rewrite + the two new registrations
+    "q160_price_decile_bands": ("bounded $1000 grid lookup + boundary-run windows, linear", 1.3),
+    "llm_corpus_length_gini": ("value-domain collapse + per-lang prefix sums, linear", 1.3),
 }
 
 
