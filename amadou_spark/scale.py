@@ -282,10 +282,14 @@ def bounded_domain_ntile(
     is a row-preserving permutation of the original frame, so the
     counts are identical — pointing every call's counts at the ROOT
     frame keeps the stage DAG wide (the count tables materialize in
-    parallel, off one reused root exchange) instead of serializing
-    each table behind the previous call's union. MUST have the same
-    row multiset on ``value_col`` as ``df`` — anything else silently
-    mis-buckets.
+    parallel) instead of serializing each table behind the previous
+    call's union. MUST have the same row multiset on ``value_col`` as
+    ``df`` — anything else silently mis-buckets. NOTE: if the root is
+    an AGGREGATE with several consumers, checkpoint it first
+    (:func:`materialize_shared`) — column pruning specializes each
+    consumer's copy of the agg, so exchange reuse can NOT dedup them
+    (measured: 21 duplicate exchanges in q118 before its checkpoint);
+    a pruned RAW SCAN root is fine to re-read.
     """
     from pyspark.sql.window import Window
 

@@ -213,6 +213,22 @@ def facts(plan: str) -> list[str]:
             out.append(f"- {n}× {label}")
     n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
     out.append(f"- {n_ex} exchange(s) (shuffle boundaries) in the final plan")
+    # duplicate-subtree signal (the q118 r7 pruning trap): many scans
+    # of one file in a plan usually means column pruning specialized a
+    # shared subtree's copies so exchange reuse can't dedup them — a
+    # shared AGGREGATE should be checkpointed; a pruned raw scan is
+    # usually fine to re-read (cheaper than a row-format copy)
+    paths = re.findall(r"Location: InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)\]", plan)
+    if paths:
+        from collections import Counter
+
+        top, n_scans = Counter(paths).most_common(1)[0]
+        if n_scans >= 4:
+            out.append(
+                f"- ⚠ {n_scans} scans of `{top.rsplit('/', 1)[-1]}` in one "
+                f"plan — check whether a shared aggregate needs a "
+                f"checkpoint (pruning defeats exchange reuse)"
+            )
     sp = single_partition_sort_exchanges(plan)
     if sp:
         out.append(
