@@ -489,8 +489,15 @@ def q111_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q112_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.queries.frontier import _co_order_edges
 
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
-    e = _co_order_edges(t).distinct()
+    # checkpoint the edge list: FOUR consumers (degree agg + both
+    # symmetrization legs + the broadcast deg tables' subtrees) would
+    # otherwise each re-run the lineitem self-join + distinct — pruning
+    # specializes the copies so exchange reuse can't dedup them (10
+    # lineitem scans in the r7 dup audit)
+    e = materialize_shared(_co_order_edges(t).distinct())
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -3591,8 +3598,15 @@ def q152_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries", "events"),
 )
 def q153_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
-    daily = (
+    # checkpoint the rollup: FIVE consumers (both pair-join sides, nn,
+    # tx, ty) and column pruning specializes each copy's agg exchange,
+    # so exchange reuse cannot dedup them — without the materialize the
+    # final plan re-aggregates raw events up to 9x (r7 dup-scan audit;
+    # the q146/q149 calendar-rollup pattern)
+    daily = materialize_shared(
         t["events"]
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(
@@ -3713,6 +3727,14 @@ def q154_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("o"))
     )
+    from amadou_spark.scale import materialize_shared
+
+    # checkpoint the 25-row contingency table: SIX consumers (both
+    # grid-margin distincts, the grid left join, rt, ct, nt) would
+    # otherwise each re-run the fact join+agg — pruning specializes the
+    # copies so exchange reuse can't dedup (17 orders scans in the r7
+    # dup audit); one join+agg then blocks
+    cells = materialize_shared(cells)
     # full observed-category grid (see oracle comment): 5x5 broadcast
     # cross of the distinct margins, empty cells coalesce to 0
     grid = (

@@ -661,15 +661,22 @@ def q15c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monotonically, and the final counts are single-row aggregates",
 )
 def q57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
     ev = t["events"]
     day = F.expr("INTERVAL 24 HOURS")
-    v = (
+    # checkpoint each funnel stage that feeds BOTH the next stage's
+    # join and its own census count: column pruning specializes the
+    # copies, so exchange reuse can't dedup them and raw events were
+    # re-aggregated per consumer (11 events scans in the r7 dup audit
+    # — the stage chain compounds: re-running c re-runs v again)
+    v = materialize_shared(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    c = (
+    c = materialize_shared(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + day))
@@ -832,11 +839,21 @@ def q59_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "convention, and absent pairs simply produce no row)",
 )
 def q63_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
     ev = t["events"].select(F.col("ts").cast("date").alias("day"), "event_type")
-    daily = ev.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    # checkpoint the (day, type) rollup — its THREE consumers (day
+    # totals, the per-day join, and the global distribution, which is
+    # an exact regroup of it: SUM(n) per type == count over raw events)
+    # would otherwise each re-aggregate raw events, since column
+    # pruning forks the copies and exchange reuse can't dedup them
+    # (8 events scans in the r7 dup audit). ONE raw scan total.
+    daily = materialize_shared(
+        ev.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    )
     day_tot = daily.groupBy("day").agg(F.sum("n").alias("dn"))
-    glob = ev.groupBy("event_type").agg(F.count("*").alias("gn"))
+    glob = daily.groupBy("event_type").agg(F.sum("n").alias("gn"))
     gtot = glob.agg(F.sum("gn").alias("g"))
     p = F.col("n") / F.col("dn")
     q = F.col("gn") / F.col("g")

@@ -1157,14 +1157,23 @@ def llm_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
     """,
     description="BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus "
-    "against a fixed 3-term query spanning the IDF range: one explode "
-    "feeds tf/doc-length/df aggregations from the same scan, the "
-    "per-term stats broadcast back (|terms| rows), and top-20 is a "
-    "TakeOrdered on the ROUNDED score so the cutoff can never depend "
-    "on a last-ulp double divergence between engines",
+    "against a fixed 3-term query spanning the IDF range — in ONE "
+    "tokenization pass (r7 rewrite; the r7 dup-scan audit showed the "
+    "old tf/dl/df formulation re-exploding documents ~5x because "
+    "column pruning forked the shared explode): the 3 query-term "
+    "literals pivot into per-doc tf COLUMNS inside the same agg that "
+    "counts doc length, the doc-grain table is checkpointed, and "
+    "df/n_docs/avgdl fold into ONE 1-row broadcast off it — scoring "
+    "is then pure per-row arithmetic with NO fact join at all (a "
+    "term absent from a doc contributes exactly 0.0, identical to the "
+    "oracle's inner-join row set, which the tf>0 filter pins). Top-20 "
+    "is a TakeOrdered on the ROUNDED score so the cutoff can never "
+    "depend on a last-ulp double divergence between engines",
     tags=("llm", "text"),
 )
 def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
     terms = ["query", "join", "dup"]
     # explicit single-space split, in lockstep with the oracle's
@@ -1174,39 +1183,52 @@ def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count("*").cast("double").alias("_doc_len")
-    )
-    stats = (
-        t["documents"]
-        .agg(F.count("*").cast("double").alias("_n_docs"))
-        .crossJoin(F.broadcast(dl.agg(F.avg("_doc_len").alias("_avgdl"))))
-    )
-    qtoks = toks.filter(F.col("tok").isin(terms))
-    tf = qtoks.groupBy("doc_id", F.col("tok").alias("term")).agg(
-        F.count("*").cast("double").alias("_tf")
-    )
-    df = qtoks.groupBy(F.col("tok").alias("term")).agg(
-        F.countDistinct("doc_id").cast("double").alias("_df")
-    )
-    # identical operation order to the oracle so the doubles agree
-    # bit-for-bit before ROUND (same contract as llm_text_tfidf)
-    contrib = (
-        F.log(
-            1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    per_doc = materialize_shared(
+        toks.groupBy("doc_id").agg(
+            F.count("*").cast("double").alias("_doc_len"),
+            *[
+                F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+                .cast("double")
+                .alias(f"_tf_{i}")
+                for i, term in enumerate(terms)
+            ],
         )
-        * (F.col("_tf") * 2.2)
-        / (
-            F.col("_tf")
-            + 1.2 * (0.25 + 0.75 * F.col("_doc_len") / F.col("_avgdl"))
-        )
+    )
+    # every doc yields one per_doc row (split('') is ['']), so n_docs
+    # off this table equals the oracle's count over documents
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.avg("_doc_len").alias("_avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def contrib(i: int) -> F.Column:
+        # identical operation order to the oracle so the doubles agree
+        # bit-for-bit before ROUND (same contract as llm_text_tfidf)
+        tf, dfc = F.col(f"_tf_{i}"), F.col(f"_df_{i}")
+        return F.when(
+            tf > 0,
+            F.log(1.0 + (F.col("_n_docs") - dfc + 0.5) / (dfc + 0.5))
+            * (tf * 2.2)
+            / (
+                tf
+                + 1.2 * (0.25 + 0.75 * F.col("_doc_len") / F.col("_avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    score = contrib(0) + contrib(1) + contrib(2)
+    any_term = sum(
+        (F.col(f"_tf_{i}") for i in range(len(terms))), F.lit(0.0)
     )
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(any_term > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )

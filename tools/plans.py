@@ -55,7 +55,7 @@ REVIEW = {
     "q94_bucketed_join": "both sides pre-bucketed on the join key (SelectedBucketsCount in scan): the sort-merge path needs NO Exchange of either table — pinned in tests/test_scale.py with broadcast off; at this sf AQE correctly broadcasts the small side instead, and either way the fact never shuffles",
     "q95_salted_aggregate": "two-phase agg: (key, salt) partials spread the hot group before the final key-only re-aggregation",
     "llm_bpe_learn_merges": "iterative BPE: each round's pair count is an explode + map-side-combined hash agg over the WORD table (not the corpus); merges apply as codegen literal replace; lineage cut per round so plans stay flat",
-    "llm_text_bm25": "one explode feeds tf/dl/df aggs from the same scan; |terms|-row stats broadcast back; top-20 is TakeOrdered on the rounded score",
+    "llm_text_bm25": "ONE tokenization pass: query-term tf pivoted into per-doc columns inside the doc-length agg (checkpointed); df/n/avgdl fold into one 1-row broadcast; scoring is per-row arithmetic with NO fact join (r7 — the old tf/dl/df formulation re-exploded documents ~5x); top-20 TakeOrdered on the rounded score",
     "q96_triangle_count": "degree-oriented wedge join: orientation caps out-degree at O(sqrt(m)) so no hub hotspot; oriented list checkpointed once for its three consumers",
     "q97_bfs_levels": "per-round frontier-edge equi-join + visited anti-join: cost O(frontier edges), never O(paths); early exit on drained frontier",
     "q98_kcore": "per-round endpoint-explode degree agg + two semi-joins; edge list only shrinks so round cost is monotone decreasing",
@@ -87,7 +87,7 @@ REVIEW = {
     "q109_rolling_anomaly": "mean/std/count ride ONE window frame (20 PRECEDING..1 PRECEDING) — one shuffle on user_id, streaming frame eval, filter before output sort",
     "q110_bloom_pruned_join": "bloom build = explode -> word bit_or (map-side) -> 1-row map broadcast, sized from the actual dim count (no saturation); fact probe is pure codegen word/bit arithmetic BEFORE the join exchange",
     "q111_fuzzy_name_pairs": "distinct entity table first; quadratic levenshtein confined within first-token blocks of the DISTINCT names",
-    "q112_assortativity": "edge-linear: degree table broadcast onto the symmetrized edge list, ONE corr agg; no wedge materialization",
+    "q112_assortativity": "edge-linear: co-order edge list checkpointed (4 consumers; pruning forks un-checkpointed copies), degree table broadcast onto the symmetrized list, ONE corr agg; no wedge materialization",
     "q113_zipf_fit": "token count map-side combined; top-500 via TakeOrderedAndProject; regression on 500 rows",
     "q114_lexical_diversity": "two stacked hash aggs ((source,token) then source), both map-side combinable; exact BIGINT until final ratios",
     "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle",
@@ -136,8 +136,8 @@ REVIEW = {
     "q151_hazard_rate": "q131 shape: duration-grid prefix sums; no exp/ln anywhere — one division + floor-half-up is the only float step",
     "llm_quality_linear_classifier": "64 INTEGER milli-weights as a literal array: per-row codegen element_at, exact BIGINT sums, one division + floor-half-up; no join/UDF before the per-doc agg",
     "q152_kruskal_wallis": "q124 shape: values coarsen to whole dollars, collapse to (val, grp) counts; midrank prefix sum rides the bounded price domain; H is a 5-row closed form with tie correction",
-    "q153_kendall_tau": "q146 shape: pair join rides the bounded (type,day) calendar rollup; concordant/discordant are exact integer counts; tau-b one division",
-    "q154_cramers_v": "fact join collapses to the 25-cell contingency table in ONE map-side-combined agg; margins/chi2/V are broadcast arithmetic on the bounded grid",
+    "q153_kendall_tau": "q146 shape: (type,day) calendar rollup checkpointed (5 consumers), pair join rides it; concordant/discordant exact integer counts; tau-b NULL-guarded one division",
+    "q154_cramers_v": "fact join collapses to the 25-cell contingency table in ONE map-side-combined agg (checkpointed — 6 consumers incl. the full observed-category grid completion); margins/chi2/V are broadcast arithmetic on the bounded grid",
     "q155_pacf": "q104 shape: daily rollup first, one (type)-partitioned lag window, 3 corr aggs; Durbin-Levinson recursion is closed-form arithmetic on engine-stably pinned ACF values",
     "q156_local_clustering": "q96's degree-oriented wedge join (out-degree capped O(sqrt m)); triangles explode to 3 corner rows, per-node agg map-side combines; band rollup is bounded output",
     "llm_dedup_overlap": "shares the jaccard inverted-index/stop-shingle machinery (_shingle_pair_counts); overlap = common/min(|A|,|B|) — same equi-join candidate bounds, one extra projection",
@@ -308,6 +308,18 @@ def main() -> None:
         "pushdown reaches the scans, projections prune, joins pick the right",
         "strategy, shared subplans are computed once. Regenerate with",
         "`python tools/plans.py` after plan-affecting changes.",
+        "",
+        "The duplicate-scan ⚠ (>= 4 scans of one file) is a SIGNAL, not a",
+        "verdict: the r7 registry-wide audit fixed every case where a",
+        "fact-grain AGGREGATE or JOIN re-executed (q118, q153, q154, q57,",
+        "q63, q112, llm_text_bm25 — checkpointed); the flags that remain",
+        "are audited shapes where re-reading beats materializing — pruned",
+        "1-2 column raw-scan re-reads (q160, llm_dedup_cross_source),",
+        "exact-bounds/percentile two-pass plans (q158, q64, llm_quality_mad)",
+        "and token-grain explode reuse where checkpointing the token grain",
+        "would dwarf the re-scan (llm_token_pmi, llm_quality_bigram_logprob,",
+        "llm_quality_ppl_buckets, llm_decontaminate), plus the scd2",
+        "branch fan-out whose inputs here are pruned scans.",
         "",
     ]
     for name, commentary in REVIEW.items():
