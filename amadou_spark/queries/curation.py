@@ -129,12 +129,18 @@ _BUDGET_FRAC = 0.4  # sample budget as a fraction of the corpus
     tags=("llm", "sampling"),
 )
 def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
     docs = t["documents"]
-    # per-language stats stay IN the plan: |langs| rows cross-joined with
-    # their own one-row totals (both broadcast), then broadcast back onto
-    # the corpus — one full scan, no driver materialization.
-    stats = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    # per-language stats checkpointed (|langs| rows — free): the chain
+    # tot -> w -> z -> probs references it four times and column
+    # pruning forks un-checkpointed copies (r7 dup audit: 8 documents
+    # scans), so without the cut the corpus lang column re-scans per
+    # consumer. One corpus scan for the stats + one for the sample.
+    stats = materialize_shared(
+        docs.groupBy("lang").agg(F.count("*").alias("c"))
+    )
     tot = stats.agg(F.sum("c").alias("total"))
     w = stats.crossJoin(F.broadcast(tot)).withColumn(
         "w", F.pow(F.col("c") / F.col("total"), F.lit(_ALPHA))
