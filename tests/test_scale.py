@@ -342,3 +342,33 @@ def test_bounded_domain_ntile_plan_has_no_single_partition_sort(spark):
     out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert single_partition_sort_exchanges(plan) == []
+
+
+def test_bounded_domain_ntile_monotone_coarsening(spark):
+    """The q118/q160 trick: ntile(ORDER BY x, pk) must equal
+    bounded_domain_ntile over the COARSENED value floor(x/g) with
+    (x, pk) as the tie-break — for any monotone grid g, including
+    grids so coarse every run crosses a boundary."""
+    from pyspark.sql import Window as W
+
+    from amadou_spark.scale import bounded_domain_ntile
+
+    vals = [1703, 992, 992, 4410, 318, 992, 7002, 4410, 55, 318] * 7
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, x int").withColumn(
+        "g", F.floor(F.col("x") / 1000).cast("bigint")
+    )
+    for k in (3, 4, 10):
+        got = {
+            r["id"]: r["b"]
+            for r in bounded_domain_ntile(
+                df, "g", ["x", "id"], k, "b"
+            ).collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(W.orderBy("x", "id"))
+            ).collect()
+        }
+        assert got == want, f"k={k}"
