@@ -584,8 +584,16 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     edge list against a node-score table plus two map-side-combined
     sums, the :func:`pagerank` shuffle shape. Unnormalized scores grow
     like (avg degree)^rounds — ~1e30 for 10 rounds at degree 1000,
-    comfortably inside double range. Rounds cut lineage via
-    materialize_shared.
+    comfortably inside double range.
+
+    Lineage: every intermediate score table feeds exactly ONE consumer
+    (the next round's join), so the unrolled plan grows LINEARLY and
+    lazy chaining is safe — no per-round checkpoint (r7; the r6 loop
+    paid one materialize job per round for a 2^depth risk this
+    alternating chain doesn't have). Cuts happen only where branching
+    actually occurs — the FINAL auth and hub (each read by its totals
+    agg and the output projection) — plus every 4th round as an
+    analysis-depth bound for deep loops.
 
     Returns (node, role 'hub'|'authority', score DOUBLE, L1-normalized
     within each role).
@@ -600,21 +608,25 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     )
     auth = None
     for i in range(n_iter):
+        last = i == n_iter - 1
         auth = (
             e.join(hub, e["src"] == hub["node"])
             .groupBy(e["dst"].alias("node"))
             .agg(F.sum("h").alias("a"))
         )
-        if i == n_iter - 1:
+        if last:
             # two consumers (final hub update + output) — materialize;
-            # intermediate auths feed exactly one join and ride the
-            # checkpointed hub/e lineage, so they stay lazy
+            # intermediate auths feed exactly one join and stay lazy
             auth = materialize_shared(auth)
-        hub = materialize_shared(
+        hub = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy(e["src"].alias("node"))
             .agg(F.sum("a").alias("h"))
         )
+        if last or i % 4 == 3:
+            # final hub branches (totals agg + output); intermediate
+            # cuts only every 4th round to bound analysis depth
+            hub = materialize_shared(hub)
     h_tot = hub.agg(F.sum("h").alias("t"))
     a_tot = auth.agg(F.sum("a").alias("t"))
     return (
