@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from amadou_spark.scale import materialize_shared
+
 OPEN_END = "9999-12-31"
 
 def scd2_merge(
@@ -32,10 +34,19 @@ def scd2_merge(
     effective_date: str,
 ) -> DataFrame:
     """Apply `updates` (one row per key) to an SCD2 `current` table with
-    columns [key, *tracked_cols, valid_from, valid_to, is_current]."""
-    upd = updates.select(key, *tracked_cols)
+    columns [key, *tracked_cols, valid_from, valid_to, is_current].
 
-    open_rows = current.filter(F.col("is_current"))
+    The open-rows and updates tables are checkpointed: each feeds 3-4
+    branches (the change join, the close semi-join, the brand-new
+    anti-join, the new-versions semi-join), and column pruning
+    specializes every un-checkpointed copy so exchange reuse cannot
+    dedup them — the r7 duplicate-subtree audit measured the caller's
+    input re-scanned 18x through this fan-out. SCD2 tables are
+    dimension-grain, so the two copies are cheap; the joins then read
+    materialized blocks."""
+    upd = materialize_shared(updates.select(key, *tracked_cols))
+
+    open_rows = materialize_shared(current.filter(F.col("is_current")))
     closed_rows = current.filter(~F.col("is_current"))
 
     # explicit marker distinguishes "no update row" from "update with
@@ -174,7 +185,13 @@ def scd2_apply(
         "_snap_hash",
     )
     cond = [F.col(k).eqNullSafe(F.col(f"_s_{k}")) for k in keys]
-    j = cur_k.join(snap_k, on=cond, how="full_outer")
+    # checkpoint the decision join: THREE branches (keep_open,
+    # close_now, open_now) read it, and column pruning specializes
+    # every un-checkpointed copy so the full-outer join would
+    # re-execute per branch (r7 duplicate-subtree audit). Safe to cut
+    # here — the snap side is pre-renamed, so no qualifier is needed
+    # downstream.
+    j = materialize_shared(cur_k.join(snap_k, on=cond, how="full_outer"))
 
     in_cur = F.col("_cur_hash").isNotNull()
     in_snap = F.col("_snap_hash").isNotNull()

@@ -167,24 +167,33 @@ def q101_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = F.conv(
         F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
+    from amadou_spark.scale import materialize_shared
+
     h = (
         li.select(F.col("l_returnflag").alias("flag"), hv.alias("hv"))
         .distinct()
     )
     scale = F.lit(16.0) ** 15
-    kth = (
+    # per-flag k-minima = the SKETCHES themselves (<= |flags| x k rows,
+    # checkpointed — two consumers). h now has exactly ONE consumer, so
+    # the fact-grain distinct executes once (r7: the old code
+    # re-distincted lineitem a second time to build the merged sketch,
+    # contradicting the mergeability story this query demonstrates).
+    sketches = materialize_shared(
         h.select(
             "flag",
             "hv",
             F.row_number().over(W.partitionBy("flag").orderBy("hv")).alias("rn"),
-        )
-        .filter(F.col("rn") == k)
+        ).filter(F.col("rn") <= k)
     )
-    # merged sketch: k smallest of the distinct-hash union via
-    # orderBy+limit (plans as TakeOrderedAndProject — per-partition
-    # heaps of k, no global sort/window), then its max is u_(k)
+    kth = sketches.filter(F.col("rn") == k)
+    # merged sketch: KMV mergeability — the k smallest of the UNION of
+    # the per-flag sketches equals the k smallest of the full distinct
+    # union (any hash among the global k minima is within its own
+    # flag's k minima), so the merge reads <= |flags| x k rows, never
+    # the fact table; its max is u_(k)
     merged_kth = (
-        h.select("hv")
+        sketches.select("hv")
         .distinct()
         .orderBy("hv")
         .limit(k)

@@ -47,8 +47,8 @@ REVIEW = {
     "b03_variant": "parse_json once, typed variant_get paths — single scan, filter applied post-projection",
     "llm_dedup_lines": "dup-chunk join UNHINTED (r3): text never enters an exchange; AQE picks broadcast vs shuffle from observed dup-set size",
     "llm_quality_unigram_logprob": "vocab join UNHINTED (r3): Heaps'-law vocab can't be force-broadcast; only the 1-row total is hinted",
-    "q89_scd2_apply": "SCD2 fold = ONE full-outer equi-join on the business key; change detection via map-side sha2 hashes (no per-column compare shuffle)",
-    "q91_scd2_merge": "delta merge: every branch an equi/anti-join on the same key — one shuffle partitioning reused across the union legs",
+    "q89_scd2_apply": "SCD2 fold = ONE full-outer equi-join on the business key, checkpointed before its three branch consumers (r7 — pruning forked un-checkpointed copies into per-branch re-joins); change detection via map-side sha2 hashes (no per-column compare shuffle)",
+    "q91_scd2_merge": "delta merge: open-rows and updates tables checkpointed ONCE (3-4 branch consumers each; the r7 audit measured 18 input re-scans without the cuts), every branch an equi/anti-join on the same key over the materialized blocks",
     "q92_cdc_compaction": "latest-per-key via max_by partial agg: each partition reduces to one candidate per key BEFORE the shuffle (no window sort of all versions)",
     "llm_url_dedup": "canonicalization is chained JVM regex on one scan; dedup is one hash agg with map-side combine — zero joins",
     "q93_salted_join": "hot key spread over 8 salt partitions; replication is an explode AFTER the scan (other side scanned once)",
@@ -76,7 +76,7 @@ REVIEW = {
     "llm_bpe_encode": "encode = the learn loop's final vocab projected to symbol sequences: O(distinct words), corpus re-tokenization is a join against this table",
     "llm_kmeans": "assignment = pure per-row codegen (array_min over k literal-centroid distance structs) — no join/shuffle/UDF; the per-round update shuffles only (cluster, dim, partial-mean) scalar triples",
     "llm_random_projection": "16 zip_with folds over literal sign rows: zero shuffle, zero Python; the only exchange is the final orderBy (gate-only)",
-    "q101_kmv_distinct": "per-group sketch = window over (flag, hash); merged sketch = TakeOrderedAndProject k-minima (per-partition heaps, no global sort) then a 1-row broadcast",
+    "q101_kmv_distinct": "per-group sketch = window over (flag, hash), checkpointed at <= |flags| x k rows; merged estimate reads the UNION OF SKETCHES (KMV mergeability — r7: the old merge re-distincted the fact table), TakeOrderedAndProject k-minima then a 1-row broadcast",
     "q102_sssp": "per-round frontier equi-join + map-side-combined min agg; frontier restriction keeps round cost at O(improved edges), never O(E)",
     "q103_feature_pack": "seven features, ONE Window operator, one shuffle+sort on (user_id | ts,event_id); the only other exchange is the gate's final orderBy",
     "q104_autocorr": "daily rollup collapses events before anything else; lags + 3 corr aggs run on the O(days x types) remnant — one window sort, one final agg",
