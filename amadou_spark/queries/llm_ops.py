@@ -1791,10 +1791,20 @@ def llm_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "quality"),
 )
 def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     docs = t["documents"]
-    uni = (
+    # checkpoint the unigram table: its two consumers (the 1-row vocab
+    # count and the scoring join side) would otherwise each re-run the
+    # FULL corpus tokenization + vocab aggregation — pruning forks the
+    # copies so exchange reuse can't dedup them (r7 dup audit). The
+    # vocab-grain copy is far cheaper than a second corpus explode.
+    # The bigram explode (bif) stays lazy by design: it is token-grain,
+    # and its two consumers each stream it — a checkpoint copy of the
+    # token grain would dwarf the re-explode.
+    uni = materialize_shared(
         docs.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
