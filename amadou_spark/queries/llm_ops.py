@@ -1032,24 +1032,33 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY tf.doc_id, tf.tok
     """,
     description="TF-IDF term weighting over the corpus: tf = term count / "
-    "doc length, idf = ln(N / df). One explode feeds THREE aggregations "
-    "(term counts, doc lengths, document frequencies) that Catalyst computes "
-    "from the same scan; the df table joins back on the term (equi-join — "
-    "broadcast while the vocabulary is small, shuffle-partitioned when it "
-    "isn't) and N is a single-row broadcast. The arithmetic keeps the exact "
-    "same operation order in both engines so the doubles agree bit-for-bit "
-    "before ROUND.",
+    "doc length, idf = ln(N / df). ONE tokenization pass (r7: the old "
+    "three-aggregation formulation re-exploded the corpus per "
+    "aggregate — pruning forks the shared explode): the (doc, term) "
+    "count table is the complete sufficient statistic, so doc lengths "
+    "(SUM of counts per doc) and document frequencies (row count per "
+    "term) both derive from the CHECKPOINTED tf table — which must "
+    "exist anyway, it is the output grain. The df table joins back on "
+    "the term (equi-join — broadcast while the vocabulary is small, "
+    "shuffle-partitioned when it isn't) and N is a single-row "
+    "broadcast. The arithmetic keeps the exact same operation order "
+    "in both engines so the doubles agree bit-for-bit before ROUND.",
 )
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.llm.text import tokens
+    from amadou_spark.scale import materialize_shared
 
     t = register_tables(spark, sf_dir)
     toks = t["documents"].select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("_n"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("_doc_len"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("_df"))
+    tf = materialize_shared(
+        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("_n"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("_n").alias("_doc_len"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("_df"))
+    # N counts ALL documents (the oracle's count(*) FROM documents) —
+    # a token-less doc has no tf rows and would vanish from dl's count
     nd = t["documents"].agg(F.count("*").alias("_n_docs"))
     return (
         tf.join(dl, "doc_id")
