@@ -4120,3 +4120,545 @@ def q160_price_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q161_mutual_information",
+    oracle="""
+        WITH cells AS (
+            SELECT c_nationkey AS k, c_mktsegment AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM customer GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+        ), km AS (
+            SELECT k, CAST(SUM(c) AS BIGINT) AS ck FROM cells GROUP BY k
+        ), sm AS (
+            SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM cells GROUP BY s
+        ), mi AS (
+            -- each cell's MI contribution as an exact e12 fixed-point
+            -- BIGINT (the q151 pattern): summing integers is order-free,
+            -- so Spark's partial-agg combine order vs DuckDB's cannot
+            -- move the total
+            SELECT CAST(SUM(CAST(FLOOR(
+                       (c / CAST(n AS DOUBLE))
+                       * LN(CAST(n AS DOUBLE) * c
+                            / (CAST(ck AS DOUBLE) * cs))
+                       * 1000000000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS mi_fp
+            FROM cells
+            JOIN km USING (k) JOIN sm USING (s) CROSS JOIN tot
+        ), hk AS (
+            SELECT CAST(SUM(CAST(FLOOR(
+                       (ck / CAST(n AS DOUBLE))
+                       * LN(ck / CAST(n AS DOUBLE))
+                       * 1000000000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS hk_fp
+            FROM km CROSS JOIN tot
+        ), hs AS (
+            SELECT CAST(SUM(CAST(FLOOR(
+                       (cs / CAST(n AS DOUBLE))
+                       * LN(cs / CAST(n AS DOUBLE))
+                       * 1000000000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS hs_fp
+            FROM sm CROSS JOIN tot
+        )
+        SELECT n AS n_customers,
+               ROUND(mi_fp / 1e12, 6) AS mi_nats,
+               ROUND(-hk_fp / 1e12, 6) AS h_nation,
+               ROUND(-hs_fp / 1e12, 6) AS h_segment,
+               ROUND(mi_fp / SQRT(CAST(hk_fp AS DOUBLE) * hs_fp), 6)
+                   AS nmi
+        FROM tot CROSS JOIN mi CROSS JOIN hk CROSS JOIN hs
+    """,
+    description="mutual information (and sqrt-normalized NMI) between "
+    "customer nation and market segment — the feature-selection / "
+    "redundancy screen a training pipeline runs over candidate "
+    "categorical features. One map-side-combined hash agg builds the "
+    "contingency table, whose grain is |nations|x|segments| (data-size-"
+    "independent); marginals and the total are exact-regroup re-aggs of "
+    "those bounded cells (no fact rescans) joined back broadcast-tiny. "
+    "Engine stability: each cell's p*ln term is floored-half-up to an "
+    "exact e12 fixed-point BIGINT before summing, so the sum is "
+    "order-free integer arithmetic in both engines (the q151 pattern) "
+    "and one division at output recovers nats; NMI's sqrt runs on the "
+    "same deterministic integer sums",
+    tags=("stats", "llm"),
+)
+def q161_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    cells = (
+        t["customer"]
+        .groupBy(
+            F.col("c_nationkey").alias("k"),
+            F.col("c_mktsegment").alias("s"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # bounded grain (<= 125 rows): safe to reuse lazily, the three
+    # re-aggs below each collapse the same tiny frame
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    km = cells.groupBy("k").agg(F.sum("c").cast("bigint").alias("ck"))
+    sm = cells.groupBy("s").agg(F.sum("c").cast("bigint").alias("cs"))
+
+    def fp(expr):
+        return F.floor(expr * 1000000000000.0 + 0.5).cast("bigint")
+
+    mi = (
+        cells.join(F.broadcast(km), "k")
+        .join(F.broadcast(sm), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                fp(
+                    (F.col("c") / F.col("n").cast("double"))
+                    * F.log(
+                        F.col("n").cast("double")
+                        * F.col("c")
+                        / (F.col("ck").cast("double") * F.col("cs"))
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("mi_fp")
+        )
+    )
+    hk = km.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            fp(
+                (F.col("ck") / F.col("n").cast("double"))
+                * F.log(F.col("ck") / F.col("n").cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("hk_fp")
+    )
+    hs = sm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            fp(
+                (F.col("cs") / F.col("n").cast("double"))
+                * F.log(F.col("cs") / F.col("n").cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("hs_fp")
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hk))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(F.col("mi_fp") / 1e12, 6).alias("mi_nats"),
+            F.round(-F.col("hk_fp") / 1e12, 6).alias("h_nation"),
+            F.round(-F.col("hs_fp") / 1e12, 6).alias("h_segment"),
+            F.round(
+                F.col("mi_fp")
+                / F.sqrt(
+                    F.col("hk_fp").cast("double") * F.col("hs_fp")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "q162_logrank_test",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+                   MIN(CAST(ts AS DATE)) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS tp,
+                   MAX(CAST(ts AS DATE)) AS tlast
+            FROM events GROUP BY user_id
+        ), durations AS (
+            SELECT arm,
+                   CASE WHEN tp IS NOT NULL
+                        THEN date_diff('day', t0, tp)
+                        ELSE date_diff('day', t0, tlast) END AS t,
+                   CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+            FROM per_user
+        ), cells AS (
+            SELECT arm, t, CAST(SUM(obs) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM durations GROUP BY arm, t
+        ), dense AS (
+            -- every distinct duration x both arms, so per-arm prefix
+            -- sums see censoring-only times too
+            SELECT g.t, a.arm, COALESCE(cells.d, 0) AS d,
+                   COALESCE(cells.c, 0) AS c
+            FROM (SELECT DISTINCT t FROM cells) g
+            CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+            LEFT JOIN cells ON cells.t = g.t AND cells.arm = a.arm
+        ), risk AS (
+            SELECT t, arm, d,
+                   CAST(CAST(SUM(c) OVER (PARTITION BY arm) AS BIGINT)
+                        - COALESCE(SUM(c) OVER (PARTITION BY arm
+                              ORDER BY t ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM dense
+        ), wide AS (
+            SELECT t,
+                   CAST(SUM(CASE WHEN arm = 1 THEN d ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(SUM(d) AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN arm = 1 THEN n_risk ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(n_risk) AS BIGINT) AS nn
+            FROM risk GROUP BY t
+        ), terms AS (
+            -- e12 fixed-point integer terms (q151 pattern): each term
+            -- is a chain of correctly-rounded double ops in identical
+            -- order in both engines, floored-half-up to BIGINT so the
+            -- SUM is order-free exact arithmetic
+            SELECT d1,
+                   CAST(FLOOR(CAST(d AS DOUBLE) * n1 / nn
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS e1_fp,
+                   CAST(FLOOR(CAST(d AS DOUBLE) * (n1 / CAST(nn AS DOUBLE))
+                        * (1.0 - n1 / CAST(nn AS DOUBLE))
+                        * (nn - d) / (nn - 1.0)
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS v_fp
+            FROM wide WHERE d > 0 AND nn > 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_times,
+               CAST(SUM(d1) AS BIGINT) AS o1,
+               ROUND(CAST(SUM(e1_fp) AS BIGINT) / 1e12, 6) AS e1,
+               ROUND(CAST(SUM(v_fp) AS BIGINT) / 1e12, 6) AS var_o1,
+               ROUND(POW(SUM(d1) - CAST(SUM(e1_fp) AS BIGINT) / 1e12, 2)
+                     / (CAST(SUM(v_fp) AS BIGINT) / 1e12), 6)
+                   AS logrank_chi2
+        FROM terms
+    """,
+    description="log-rank test comparing time-to-first-purchase "
+    "survival between two A/B arms (user_id parity as the assignment "
+    "hash; no-purchase users right-censored at last activity) — the "
+    "standard significance test paired with the q131 Kaplan-Meier "
+    "curves. Reuses q131's scale shape: events collapse to one row per "
+    "user, then to the (arm x duration) grid, so every window rides "
+    "the DURATION DOMAIN (observation-window-bounded, data-size-"
+    "independent) partitioned by arm — no fact-grain sorts. The "
+    "hypergeometric mean/variance terms are floored-half-up to e12 "
+    "fixed-point BIGINTs (q151 pattern) so the final sums are "
+    "order-free integer arithmetic; O1 is an exact integer count. "
+    "chi2 = (O1-E1)^2/V on the deterministic sums, one division each "
+    "at output",
+    tags=("stats", "timeseries", "events"),
+)
+def q162_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    day = F.to_date("ts")
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.max(day).alias("tlast"),
+    )
+    durations = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
+        .otherwise(F.datediff("tlast", "t0"))
+        .alias("t"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    cells = durations.groupBy("arm", "t").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    dense = (
+        cells.select("t")
+        .distinct()
+        .select(
+            "t", F.explode(F.array(F.lit(0), F.lit(1))).alias("arm")
+        )
+        .join(cells, ["t", "arm"], "left")
+        .select(
+            "t",
+            "arm",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_arm = W.partitionBy("arm")
+    w_prev = (
+        W.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    risk = dense.select(
+        "t",
+        "arm",
+        "d",
+        (
+            F.sum("c").over(w_arm).cast("bigint")
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    wide = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("d").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum("n_risk").cast("bigint").alias("nn"),
+    )
+
+    def fp(expr):
+        return F.floor(expr * 1000000000000.0 + 0.5).cast("bigint")
+
+    nn_d = F.col("nn").cast("double")
+    terms = wide.filter((F.col("d") > 0) & (F.col("nn") > 1)).select(
+        "d1",
+        fp(F.col("d").cast("double") * F.col("n1") / F.col("nn")).alias(
+            "e1_fp"
+        ),
+        fp(
+            F.col("d").cast("double")
+            * (F.col("n1") / nn_d)
+            * (F.lit(1.0) - F.col("n1") / nn_d)
+            * (F.col("nn") - F.col("d"))
+            / (F.col("nn") - F.lit(1.0))
+        ).alias("v_fp"),
+    )
+    e1 = F.sum("e1_fp").cast("bigint") / 1e12
+    v = F.sum("v_fp").cast("bigint") / 1e12
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_times"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("var_o1"),
+        F.round(F.pow(F.sum("d1") - e1, 2) / v, 6).alias(
+            "logrank_chi2"
+        ),
+    )
+
+
+@query(
+    "q163_quantile_normalize",
+    oracle="""
+        WITH rowfp AS (
+            -- exact micro-units per ROW: the daily totals are then
+            -- order-free BIGINT sums, so the rank key can never
+            -- diverge between engines (a float SUM's association
+            -- order could flip a rank and corrupt the whole map)
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                       AS micro
+            FROM events
+        ), daily AS (
+            SELECT event_type, day,
+                   CAST(SUM(micro) AS BIGINT) AS v_micro
+            FROM rowfp GROUP BY event_type, day
+        ), ranked AS (
+            SELECT event_type, day, v_micro,
+                   CAST(rank() OVER (PARTITION BY event_type
+                        ORDER BY v_micro, day) AS BIGINT) AS r
+            FROM daily
+        ), ref AS (
+            SELECT r,
+                   CAST(SUM(v_micro) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM ranked GROUP BY r
+        )
+        SELECT ranked.event_type, ranked.day, ranked.r AS rnk,
+               ROUND(ranked.v_micro / 1e6, 6) AS orig_value,
+               ROUND(ref.s / CAST(ref.m AS DOUBLE) / 1e6, 6)
+                   AS qn_value
+        FROM ranked JOIN ref ON ranked.r = ref.r
+        ORDER BY ranked.event_type, ranked.day
+    """,
+    description="quantile normalization of daily event-value totals "
+    "across event types — the cross-feature distribution aligner "
+    "(microarray-normalization lineage) a feature pipeline applies "
+    "before mixing heterogeneous signals: each type's day-k-ranked "
+    "total is replaced by the mean of all types' rank-k totals. Scale "
+    "shape: raw values collapse per-row to exact integer micro-units, "
+    "then to the (type x day) grain — CALENDAR-bounded, data-size-"
+    "independent — so the rank window (partitioned by type) and the "
+    "rank-mean regroup ride a tiny frame; the reference table joins "
+    "back broadcast-size. Engine stability: the rank key is an exact "
+    "BIGINT sum (order-free in both engines) with a day tie-break, so "
+    "ranks are bit-deterministic; the only float ops are two "
+    "correctly-rounded divisions at output",
+    tags=("stats", "timeseries", "events", "llm"),
+)
+def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("micro"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("micro").cast("bigint").alias("v_micro"))
+    )
+    w = W.partitionBy("event_type").orderBy("v_micro", "day")
+    ranked = daily.withColumn(
+        "r", F.rank().over(w).cast("bigint")
+    )
+    ref = ranked.groupBy("r").agg(
+        F.sum("v_micro").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    return (
+        ranked.join(F.broadcast(ref), "r")
+        .select(
+            "event_type",
+            "day",
+            F.col("r").alias("rnk"),
+            F.round(F.col("v_micro") / 1e6, 6).alias("orig_value"),
+            F.round(
+                F.col("s") / F.col("m").cast("double") / 1e6, 6
+            ).alias("qn_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q164_markov_stationary",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS nxt,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events
+        ), pairs AS (
+            SELECT prev, nxt, CAST(count(*) AS BIGINT) AS cnt
+            FROM seq WHERE prev IS NOT NULL GROUP BY prev, nxt
+        ), rowtot AS (
+            SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot
+            FROM pairs GROUP BY prev
+        ), p AS (
+            -- e6 fixed-point transition weights: ONE correctly-rounded
+            -- double division then exact integer ops, so every power
+            -- iteration below is order-free BIGINT arithmetic in both
+            -- engines (the q151 pattern, iterated)
+            SELECT pairs.prev, pairs.nxt,
+                   CAST(FLOOR(cnt / CAST(tot AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS w
+            FROM pairs JOIN rowtot ON pairs.prev = rowtot.prev
+        ), states AS (
+            SELECT DISTINCT prev AS state FROM p
+        ), v0 AS (
+            SELECT state,
+                   CAST(FLOOR(1000000.0
+                        / (SELECT count(*) FROM states) + 0.5)
+                        AS BIGINT) AS pr
+            FROM states
+        ), v1 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v0.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v0 JOIN p ON v0.state = p.prev GROUP BY p.nxt
+        ), v2 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v1.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v1 JOIN p ON v1.state = p.prev GROUP BY p.nxt
+        ), v3 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v2.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v2 JOIN p ON v2.state = p.prev GROUP BY p.nxt
+        ), v4 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v3.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v3 JOIN p ON v3.state = p.prev GROUP BY p.nxt
+        ), v5 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v4.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v4 JOIN p ON v4.state = p.prev GROUP BY p.nxt
+        ), v6 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v5.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v5 JOIN p ON v5.state = p.prev GROUP BY p.nxt
+        ), v7 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v6.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v6 JOIN p ON v6.state = p.prev GROUP BY p.nxt
+        ), v8 AS (
+            SELECT p.nxt AS state, CAST(FLOOR(SUM(v7.pr * p.w)
+                   / 1000000.0 + 0.5) AS BIGINT) AS pr
+            FROM v7 JOIN p ON v7.state = p.prev GROUP BY p.nxt
+        )
+        SELECT state, ROUND(pr / 1e6, 4) AS stationary_p
+        FROM v8 ORDER BY state
+    """,
+    description="stationary distribution of the first-order event-type "
+    "Markov chain (the long-run 'where do user journeys settle' vector "
+    "behind session simulation and traffic forecasting), via 8 unrolled "
+    "power-iteration steps v <- vP. Scale shape: ONE fact-grain shuffle "
+    "(the per-user lag window, bounded per-user history), a partial-"
+    "aggregated pair count, and then every iteration runs on the "
+    "|event_type|^2 transition matrix — data-size-INDEPENDENT, each "
+    "step two broadcast-tiny joins lazily chained into a single job. "
+    "Engine stability: weights and the probability vector live in e6 "
+    "fixed-point BIGINTs (one correctly-rounded division each step, "
+    "all sums exact integers), so both engines walk bit-identical "
+    "iterates; convergence error ~8e-6 is inside the ROUND(.,4) "
+    "output grid. States never entered (no inbound transitions) drop "
+    "out identically in both engines",
+    tags=("stats", "events", "graph"),
+)
+def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("nxt"),
+        F.lag("event_type").over(w_user).alias("prev"),
+    )
+    pairs = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    rowtot = pairs.groupBy("prev").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    p = pairs.join(rowtot, "prev").select(
+        "prev",
+        "nxt",
+        F.floor(
+            F.col("cnt") / F.col("tot").cast("double") * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    states = p.select(F.col("prev").alias("state")).distinct()
+    n_states = states.agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    v = states.crossJoin(F.broadcast(n_states)).select(
+        "state",
+        F.floor(1000000.0 / F.col("k") + 0.5)
+        .cast("bigint")
+        .alias("pr"),
+    )
+    for _ in range(8):
+        v = (
+            p.join(
+                F.broadcast(v), p["prev"] == v["state"]
+            )
+            .groupBy(F.col("nxt").alias("state2"))
+            .agg(
+                F.floor(
+                    F.sum(F.col("pr") * F.col("w")) / 1000000.0 + 0.5
+                )
+                .cast("bigint")
+                .alias("pr")
+            )
+            .withColumnRenamed("state2", "state")
+        )
+    return v.select(
+        "state", F.round(F.col("pr") / 1e6, 4).alias("stationary_p")
+    ).orderBy("state")

@@ -128,6 +128,11 @@ EXPECTED = {
     # r7: the q118 de-sort rewrite + the two new registrations
     "q160_price_decile_bands": ("bounded $1000 grid lookup + boundary-run windows, linear", 1.3),
     "llm_corpus_length_gini": ("value-domain collapse + per-lang prefix sums, linear", 1.3),
+    # r7 second batch: stats/feature ops on bounded post-agg domains
+    "q161_mutual_information": ("one contingency agg, |nations|x|segments| downstream", 1.3),
+    "q162_logrank_test": ("per-user agg then (arm x duration)-grid windows, linear", 1.3),
+    "q163_quantile_normalize": ("per-row fixed-point then calendar-grain ranks, linear", 1.3),
+    "q164_markov_stationary": ("one lag shuffle + |types|^2 matrix iterations, linear", 1.3),
 }
 
 
