@@ -4186,8 +4186,10 @@ def q160_price_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "llm"),
 )
 def q161_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
-    cells = (
+    cells = materialize_shared(
         t["customer"]
         .groupBy(
             F.col("c_nationkey").alias("k"),
@@ -4195,8 +4197,11 @@ def q161_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    # bounded grain (<= 125 rows): safe to reuse lazily, the three
-    # re-aggs below each collapse the same tiny frame
+    # the checkpoint above cuts lineage at the bounded contingency
+    # grain (<= |nations|x|segments| rows): column pruning specializes
+    # each consumer's copy of a shared subtree, so without it the
+    # fact-grain agg re-executes once per marginal/total consumer
+    # (13 customer scans in the executed plan; 1 after)
     tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
     km = cells.groupBy("k").agg(F.sum("c").cast("bigint").alias("ck"))
     sm = cells.groupBy("s").agg(F.sum("c").cast("bigint").alias("cs"))
@@ -4364,9 +4369,16 @@ def q162_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
     )
-    cells = durations.groupBy("arm", "t").agg(
-        F.sum("obs").cast("bigint").alias("d"),
-        F.count("*").cast("bigint").alias("c"),
+    from amadou_spark.scale import materialize_shared
+
+    # lineage cut at the bounded (arm x duration) grain: the dense
+    # grid consumes cells twice (time spine + left join), and without
+    # the checkpoint each copy re-executes the fact-grain per-user agg
+    cells = materialize_shared(
+        durations.groupBy("arm", "t").agg(
+            F.sum("obs").cast("bigint").alias("d"),
+            F.count("*").cast("bigint").alias("c"),
+        )
     )
     dense = (
         cells.select("t")
@@ -4490,8 +4502,13 @@ def q162_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries", "events", "llm"),
 )
 def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
     t = register_tables(spark, sf_dir)
-    daily = (
+    # lineage cut at the calendar-bounded (type x day) grain: ranked
+    # feeds both the rank-mean regroup and the output join, and
+    # without the checkpoint each copy re-executes the fact-grain agg
+    daily = materialize_shared(
         t["events"]
         .select(
             "event_type",
@@ -4624,15 +4641,23 @@ def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowtot = pairs.groupBy("prev").agg(
         F.sum("cnt").cast("bigint").alias("tot")
     )
-    p = pairs.join(rowtot, "prev").select(
-        "prev",
-        "nxt",
-        F.floor(
-            F.col("cnt") / F.col("tot").cast("double") * 1000000.0
-            + 0.5
+    from amadou_spark.scale import materialize_shared
+
+    # lineage cut at the |event_type|^2 matrix: P is consumed by all
+    # 8 iterations (plus the state spine), and without the checkpoint
+    # every copy re-executes the fact-grain lag window + pair count
+    # (22 events scans in the executed plan; 1 after)
+    p = materialize_shared(
+        pairs.join(rowtot, "prev").select(
+            "prev",
+            "nxt",
+            F.floor(
+                F.col("cnt") / F.col("tot").cast("double") * 1000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("w"),
         )
-        .cast("bigint")
-        .alias("w"),
     )
     states = p.select(F.col("prev").alias("state")).distinct()
     n_states = states.agg(
