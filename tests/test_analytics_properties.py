@@ -516,3 +516,62 @@ def test_hits_scores_are_l1_normalized(spark, sf_dir):
     assert abs(sum(hubs) - 1000.0) < 0.01
     assert abs(sum(auths) - 1000.0) < 0.01
     assert min(hubs) > 0 and min(auths) > 0
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "q161_mutual_information")
+    # MI >= 0 (within the e12 fixed-point grid), bounded by min entropy
+    assert row["mi_nats"] >= -1e-6
+    assert row["h_nation"] > 0.0 and row["h_segment"] > 0.0
+    assert row["mi_nats"] <= min(row["h_nation"], row["h_segment"]) + 1e-6
+    assert -1e-6 <= row["nmi"] <= 1.0 + 1e-6
+    # entropies bounded by log of category counts
+    assert row["h_nation"] <= math.log(25) + 1e-6
+    assert row["h_segment"] <= math.log(5) + 1e-6
+
+
+def test_logrank_consistency(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "q162_logrank_test")
+    assert row["n_times"] >= 1
+    assert row["var_o1"] > 0.0
+    assert row["logrank_chi2"] >= 0.0
+    # the chi2 must equal (O1-E1)^2/V on the emitted (rounded) parts
+    # to within the rounding grid
+    recomputed = (row["o1"] - row["e1"]) ** 2 / row["var_o1"]
+    assert abs(recomputed - row["logrank_chi2"]) < 1e-3
+    # arm-1 events can't exceed the total event count at tested times
+    assert 0 <= row["o1"]
+
+
+def test_quantile_normalize_aligns_distributions(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q163_quantile_normalize")
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    # the defining invariant: after QN, every type whose series has
+    # full rank coverage carries the SAME multiset of normalized
+    # values (ties/unequal lengths only shift partial ranks)
+    lengths = {k: len(v) for k, v in by_type.items()}
+    full = [k for k, n in lengths.items() if n == max(lengths.values())]
+    multisets = {
+        k: sorted(r["qn_value"] for r in by_type[k]) for k in full
+    }
+    first = multisets[full[0]]
+    for k in full[1:]:
+        assert multisets[k] == first
+    # within each type, qn_value must be monotone in rank
+    for k, rs in by_type.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        qn = [r["qn_value"] for r in rs]
+        assert qn == sorted(qn)
+
+
+def test_markov_stationary_is_a_distribution(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q164_markov_stationary")
+    assert rows
+    total = sum(r["stationary_p"] for r in rows)
+    # e6 fixed-point truncation across 8 iterations: the mass can sag
+    # by a few 1e-4 but must stay a near-distribution
+    assert abs(total - 1.0) < 5e-3
+    for r in rows:
+        assert 0.0 <= r["stationary_p"] <= 1.0
