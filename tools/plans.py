@@ -147,6 +147,10 @@ REVIEW = {
     "q159_hits": "q70 shape: per round exactly two equi-joins vs node-score tables + two map-side sums; L1 normalize ONCE at the end (scalars cancel through linear updates); lineage cut per round",
     "q160_price_decile_bands": "deciles off a broadcast $1000-grid lookup table (bounded by the price range); only the <=9 boundary-crossing grid runs reach the tie-break window, filtered before the shuffle; band revenue = exact BIGINT cents sums",
     "llm_corpus_length_gini": "q105 shape: docs collapse to per-(lang, distinct token count) cells; tie-run rank sums in closed form off a per-lang prefix sum — no doc-grain rank window",
+    "q161_mutual_information": "ONE map-side-combined contingency agg checkpointed at the |nations|x|segments| grain; marginals/total are exact regroups of the checkpoint (zero fact scans in the final plan); MI terms are e12 fixed-point BIGINTs",
+    "q162_logrank_test": "q131 shape: per-user agg then the (arm x duration) grid checkpointed; prefix-sum windows PARTITIONED BY ARM on the bounded grid; hypergeometric terms e12 fixed-point",
+    "q163_quantile_normalize": "per-row exact micro-units -> calendar-bounded (type, day) grain checkpointed; rank window partitioned by type; rank-mean reference table joins back broadcast",
+    "q164_markov_stationary": "one fact-grain lag shuffle; transition matrix checkpointed at |types|^2 then 8 power iterations as lazily-chained broadcast joins in ONE job",
 }
 
 
