@@ -4687,3 +4687,181 @@ def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "state", F.round(F.col("pr") / 1e6, 4).alias("stationary_p")
     ).orderBy("state")
+
+
+@query(
+    "q165_survival_rmst",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CAST(ts AS DATE)) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS tp,
+                   MAX(CAST(ts AS DATE)) AS tlast
+            FROM events GROUP BY user_id
+        ), durations AS (
+            SELECT CASE WHEN tp IS NOT NULL
+                        THEN date_diff('day', t0, tp)
+                        ELSE date_diff('day', t0, tlast) END AS t,
+                   CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+            FROM per_user
+        ), grid AS (
+            SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM durations GROUP BY t
+        ), at_risk AS (
+            SELECT t, d,
+                   CAST((SELECT CAST(count(*) AS BIGINT) FROM durations)
+                       - COALESCE(SUM(c) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+            FROM grid
+        ), km AS (
+            -- q131's engine-stable survival, reduced to the e6
+            -- fixed-point integer the area terms need
+            SELECT t,
+                   CAST(FLOOR(
+                     CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0
+                               END) OVER (ORDER BY t ROWS BETWEEN
+                               UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                          THEN 0.0
+                          ELSE EXP(FLOOR(SUM(CASE WHEN d < n_risk THEN
+                               LN(1.0 - d / CAST(n_risk AS DOUBLE)) END)
+                               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW)
+                               * 1000000000.0 + 0.5) / 1000000000.0)
+                     END * 1000000.0 + 0.5) AS BIGINT) AS s_fp
+            FROM at_risk WHERE d > 0
+        ), horizon AS (
+            SELECT CAST(MAX(t) AS BIGINT) AS h FROM durations
+        ), steps AS (
+            SELECT t, s_fp,
+                   COALESCE(LEAD(t) OVER (ORDER BY t),
+                            (SELECT h FROM horizon)) - t AS gap
+            FROM km
+        )
+        SELECT (SELECT h FROM horizon) AS horizon_days,
+               CAST(count(*) AS BIGINT) AS n_event_times,
+               -- area: survival 1.0 from day 0 to the first event
+               -- time, then each step's s * gap — exact BIGINT e6
+               -- fixed-point terms, one division at output
+               ROUND((CAST(MIN(t) AS BIGINT) * 1000000
+                      + CAST(SUM(s_fp * gap) AS BIGINT)) / 1e6, 4)
+                   AS rmst_days,
+               CAST(MIN(CASE WHEN s_fp <= 500000 THEN t END)
+                    AS BIGINT) AS median_survival_days
+        FROM steps
+    """,
+    description="restricted mean survival time (area under the q131 "
+    "Kaplan-Meier curve up to the observed horizon) and median "
+    "survival for time-to-first-purchase — the two scalar summaries a "
+    "retention analysis reports beside the curve (RMST is the "
+    "recommended effect measure when hazards aren't proportional). "
+    "Same scale shape as q131: everything after the per-user collapse "
+    "rides the observation-window-bounded duration grid. Engine "
+    "stability: survival values reduce to e6 fixed-point BIGINTs "
+    "(q131's floor-half-up), area terms are exact integer s*gap "
+    "products summed order-free, one division at output; the median "
+    "is a threshold scan of the same integers (NULL if the curve "
+    "never crosses 0.5, identically in both engines)",
+    tags=("stats", "timeseries", "events"),
+)
+def q165_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    day = F.to_date("ts")
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.max(day).alias("tlast"),
+    )
+    # lineage cut at the per-user collapse: grid, total and horizon
+    # all consume durations, and without the checkpoint each copy
+    # re-executes the fact-grain agg
+    durations = materialize_shared(
+        per_user.select(
+            F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
+            .otherwise(F.datediff("tlast", "t0"))
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        )
+    )
+    grid = durations.groupBy("t").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    horizon = durations.agg(F.max("t").cast("bigint").alias("h"))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    km = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "s_fp",
+            F.floor(
+                F.when(
+                    F.max(
+                        F.when(
+                            F.col("d") >= F.col("n_risk"), 1
+                        ).otherwise(0)
+                    ).over(w_cum)
+                    == 1,
+                    F.lit(0.0),
+                ).otherwise(
+                    F.exp(
+                        F.floor(
+                            F.sum(
+                                F.when(
+                                    F.col("d") < F.col("n_risk"),
+                                    F.log(
+                                        1.0
+                                        - F.col("d")
+                                        / F.col("n_risk").cast("double")
+                                    ),
+                                )
+                            ).over(w_cum)
+                            * 1000000000.0
+                            + 0.5
+                        )
+                        / 1000000000.0
+                    )
+                )
+                * 1000000.0
+                + 0.5
+            ).cast("bigint"),
+        )
+        .filter(F.col("d") > 0)
+        .select("t", "s_fp")
+    )
+    w_t = W.orderBy("t")
+    steps = km.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        "s_fp",
+        "h",
+        (
+            F.coalesce(F.lead("t").over(w_t), F.col("h")) - F.col("t")
+        ).alias("gap"),
+    )
+    return steps.agg(
+        F.max("h").alias("horizon_days"),
+        F.count("*").cast("bigint").alias("n_event_times"),
+        F.round(
+            (
+                F.min("t").cast("bigint") * 1000000
+                + F.sum(F.col("s_fp") * F.col("gap")).cast("bigint")
+            )
+            / 1e6,
+            4,
+        ).alias("rmst_days"),
+        F.min(F.when(F.col("s_fp") <= 500000, F.col("t")))
+        .cast("bigint")
+        .alias("median_survival_days"),
+    )

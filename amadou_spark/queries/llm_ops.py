@@ -2667,3 +2667,142 @@ def llm_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_quality_calibration",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, n_chars,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, n_chars,
+                   ([{_CLF_W_SQL}])[
+                       CAST(CAST(('0x' || substring(md5(tok), 1, 8))
+                                 AS BIGINT) % {_CLF_N_BUCKETS} AS INT)
+                       + 1] AS w
+            FROM toks
+        ), perdoc AS (
+            -- logit on the exact 1e-4 grid (the classifier's own
+            -- floor-half-up), label = the rule-based length gate the
+            -- model is calibrated against
+            SELECT doc_id,
+                   FLOOR(CAST(SUM(w) AS DOUBLE)
+                         / (1000.0 * count(*)) * 10000.0 + 0.5)
+                       AS logit_e4,
+                   CASE WHEN MAX(n_chars) BETWEEN 200 AND 2000
+                        THEN 1 ELSE 0 END AS y
+            FROM scored GROUP BY doc_id
+        ), binned AS (
+            -- pseudo-probability p = logit + 0.5 in [0,1] (e4 grid);
+            -- 10 uniform reliability bins; squared error in exact
+            -- integer e8 units so every sum is order-free
+            SELECT LEAST(GREATEST(CAST(FLOOR((logit_e4 + 5000.0)
+                       / 1000.0) AS BIGINT), 0), 9) AS bin,
+                   CAST(logit_e4 + 5000 AS BIGINT) AS p_e4,
+                   CAST(y AS BIGINT) AS y,
+                   CAST(logit_e4 + 5000 - 10000 * y AS BIGINT) AS e_e4
+            FROM perdoc
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(p_e4) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) / 10000.0, 6)
+                   AS mean_pred,
+               ROUND(CAST(SUM(y) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS frac_pos,
+               ROUND(CAST(SUM(e_e4 * e_e4) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) / 100000000.0, 6)
+                   AS brier_bin
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+    description="reliability diagram + per-bin Brier score for the "
+    "llm_quality_linear_classifier gate, scored against the rule-based "
+    "length label — how a curation pipeline VALIDATES a model-based "
+    "quality filter before trusting it at corpus scale (a classifier "
+    "that keeps 'high-quality' docs is only as good as its "
+    "calibration). Same execution shape as the classifier: the literal "
+    "64-weight model folds into per-row codegen, ONE explode + ONE "
+    "per-doc agg, then everything collapses to 10 reliability bins in "
+    "a second map-side-combined agg — nothing but the token explode "
+    "ever touches fact grain. Engine stability: the logit rides the "
+    "classifier's exact e4 grid, the pseudo-probability and the "
+    "squared calibration error are exact INTEGER e4/e8 units (sums "
+    "order-free in both engines), and each output is one "
+    "correctly-rounded division",
+    tags=("llm", "text", "quality"),
+)
+def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _CLF_N_BUCKETS
+    ).cast("int")
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in _CLF_W_MILLI]), bucket + 1
+    )
+    perdoc = (
+        toks.select("doc_id", "n_chars", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum("w").cast("double")
+                / (1000.0 * F.count("*"))
+                * 10000.0
+                + 0.5
+            ).alias("logit_e4"),
+            F.when(
+                F.max("n_chars").between(200, 2000), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    binned = perdoc.select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("logit_e4") + 5000.0) / 1000.0
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        (F.col("logit_e4") + 5000).cast("bigint").alias("p_e4"),
+        F.col("y").cast("bigint").alias("y"),
+        (F.col("logit_e4") + 5000 - 10000 * F.col("y"))
+        .cast("bigint")
+        .alias("e_e4"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("p_e4").cast("bigint")
+                / F.count("*").cast("double")
+                / 10000.0,
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("bigint")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("frac_pos"),
+            F.round(
+                F.sum(F.col("e_e4") * F.col("e_e4")).cast("bigint")
+                / F.count("*").cast("double")
+                / 100000000.0,
+                6,
+            ).alias("brier_bin"),
+        )
+        .orderBy("bin")
+    )

@@ -575,3 +575,36 @@ def test_markov_stationary_is_a_distribution(spark, sf_dir):
     assert abs(total - 1.0) < 5e-3
     for r in rows:
         assert 0.0 <= r["stationary_p"] <= 1.0
+
+
+def test_rmst_consistent_with_km_curve(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "q165_survival_rmst")
+    km = _rows(spark, sf_dir, "q131_kaplan_meier")
+    assert row["n_event_times"] == len(km)
+    first_t = km[0]["day"]
+    # survival-1 area up to the first event, never past the horizon
+    assert first_t <= row["rmst_days"] <= row["horizon_days"]
+    # median = first event time whose KM survival drops to <= 0.5,
+    # NULL when the curve never crosses
+    crossing = [r["day"] for r in km if r["survival"] <= 0.5]
+    if crossing:
+        assert row["median_survival_days"] == min(crossing)
+    else:
+        assert row["median_survival_days"] is None
+
+
+def test_calibration_partitions_and_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "llm_quality_calibration")
+    clf = _rows(spark, sf_dir, "llm_quality_linear_classifier")
+    assert sum(r["n_docs"] for r in rows) == len(clf)
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert 0.0 <= r["brier_bin"] <= 1.0
+        # calibration-refinement decomposition: per-bin MSE is at
+        # least the squared bias of that bin
+        assert (
+            r["brier_bin"]
+            >= (r["mean_pred"] - r["frac_pos"]) ** 2 - 1e-6
+        )

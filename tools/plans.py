@@ -151,6 +151,8 @@ REVIEW = {
     "q162_logrank_test": "q131 shape: per-user agg then the (arm x duration) grid checkpointed; prefix-sum windows PARTITIONED BY ARM on the bounded grid; hypergeometric terms e12 fixed-point",
     "q163_quantile_normalize": "per-row exact micro-units -> calendar-bounded (type, day) grain checkpointed; rank window partitioned by type; rank-mean reference table joins back broadcast",
     "q164_markov_stationary": "one fact-grain lag shuffle; transition matrix checkpointed at |types|^2 then 8 power iterations as lazily-chained broadcast joins in ONE job",
+    "q165_survival_rmst": "q131 shape: per-user collapse checkpointed, area terms = exact BIGINT s*gap products on the bounded duration grid (allowlisted SP windows), one division at output",
+    "llm_quality_calibration": "classifier shape: literal 64-weight model in per-row codegen, ONE explode + per-doc agg, then a 10-bin map-side-combined collapse; squared errors in exact integer e8 units",
 }
 
 
@@ -268,6 +270,8 @@ SP_ALLOWLIST: dict[str, str] = {
     # $10 buckets would change the midrank semantics (Kruskal-Wallis H
     # is tie-corrected on the VALUE grid), so the honest bound stays.
     "q152_kruskal_wallis": "collapsed whole-dollar totalprice value domain (q124 shape)",
+    # r7 second batch: same duration grid as q131/q151
+    "q165_survival_rmst": "per-distinct-duration grid (q131 shape)",
 }
 
 

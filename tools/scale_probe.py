@@ -133,6 +133,8 @@ EXPECTED = {
     "q162_logrank_test": ("per-user agg then (arm x duration)-grid windows, linear", 1.3),
     "q163_quantile_normalize": ("per-row fixed-point then calendar-grain ranks, linear", 1.3),
     "q164_markov_stationary": ("one lag shuffle + |types|^2 matrix iterations, linear", 1.3),
+    "q165_survival_rmst": ("per-user agg then duration-grid area terms, linear", 1.3),
+    "llm_quality_calibration": ("one explode + per-doc agg then 10-bin collapse, linear", 1.3),
 }
 
 
