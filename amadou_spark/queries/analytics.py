@@ -4167,7 +4167,12 @@ def q160_price_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(mi_fp / 1e12, 6) AS mi_nats,
                ROUND(-hk_fp / 1e12, 6) AS h_nation,
                ROUND(-hs_fp / 1e12, 6) AS h_segment,
-               ROUND(mi_fp / SQRT(CAST(hk_fp AS DOUBLE) * hs_fp), 6)
+               -- NULLIF: a constant attribute has zero entropy and an
+               -- undefined NMI; 0/0 is NULL in Spark but NaN in DuckDB
+               -- double semantics, so make the degenerate case NULL by
+               -- construction in both engines
+               ROUND(mi_fp / SQRT(NULLIF(
+                   CAST(hk_fp AS DOUBLE) * hs_fp, 0.0)), 6)
                    AS nmi
         FROM tot CROSS JOIN mi CROSS JOIN hk CROSS JOIN hs
     """,
@@ -4257,10 +4262,15 @@ def q161_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi_fp") / 1e12, 6).alias("mi_nats"),
             F.round(-F.col("hk_fp") / 1e12, 6).alias("h_nation"),
             F.round(-F.col("hs_fp") / 1e12, 6).alias("h_segment"),
+            # nullif mirrors the oracle: constant attribute -> zero
+            # entropy -> NMI undefined, NULL in both engines
             F.round(
                 F.col("mi_fp")
                 / F.sqrt(
-                    F.col("hk_fp").cast("double") * F.col("hs_fp")
+                    F.nullif(
+                        F.col("hk_fp").cast("double") * F.col("hs_fp"),
+                        F.lit(0.0),
+                    )
                 ),
                 6,
             ).alias("nmi"),
@@ -4332,8 +4342,12 @@ def q161_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(d1) AS BIGINT) AS o1,
                ROUND(CAST(SUM(e1_fp) AS BIGINT) / 1e12, 6) AS e1,
                ROUND(CAST(SUM(v_fp) AS BIGINT) / 1e12, 6) AS var_o1,
+               -- NULLIF: a degenerate family (one arm carrying every
+               -- at-risk subject at all event times) has V = 0 and an
+               -- undefined statistic; 0/0 is NULL in Spark but NaN in
+               -- DuckDB, so pin the degenerate case to NULL in both
                ROUND(POW(SUM(d1) - CAST(SUM(e1_fp) AS BIGINT) / 1e12, 2)
-                     / (CAST(SUM(v_fp) AS BIGINT) / 1e12), 6)
+                     / NULLIF(CAST(SUM(v_fp) AS BIGINT) / 1e12, 0.0), 6)
                    AS logrank_chi2
         FROM terms
     """,
@@ -4446,9 +4460,11 @@ def q162_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d1").cast("bigint").alias("o1"),
         F.round(e1, 6).alias("e1"),
         F.round(v, 6).alias("var_o1"),
-        F.round(F.pow(F.sum("d1") - e1, 2) / v, 6).alias(
-            "logrank_chi2"
-        ),
+        # nullif mirrors the oracle: V = 0 -> statistic undefined,
+        # NULL in both engines
+        F.round(
+            F.pow(F.sum("d1") - e1, 2) / F.nullif(v, F.lit(0.0)), 6
+        ).alias("logrank_chi2"),
     )
 
 
