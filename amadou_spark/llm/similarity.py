@@ -674,3 +674,80 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-cosine-similar vectors carrying a DIFFERENT label,
+    each with the anchor's best same-label cosine (the positive) and
+    the margin positive - negative. Negatives whose margin is small
+    (or negative) are the hard ones a contrastive batch wants.
+
+    Output: (query_id, rank, neighbor_id, neg_cosine, pos_cosine,
+    margin). Same plan contract as :func:`cosine_topk_bruteforce`:
+    |corpus| x |anchors| scoring is the right tool only for a small
+    anchor set (the list bounds it driver-side). The scored frame is
+    consumed twice (positive max + negative rank); both consumers
+    collapse to the per-anchor grain, and re-scoring a pruned scan
+    twice beats materializing a |corpus| x |q| row-format copy.
+    """
+    dot_pd = _dot_pd_udf()
+    queries = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    ).filter(F.col("query_id").isin(query_ids))
+    queries = queries.withColumn(
+        "qnrm", F.sqrt(dot_pd(F.col("qvec"), F.col("qvec")))
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("clabel"),
+    ).withColumn("cnrm", F.sqrt(dot_pd(F.col("cvec"), F.col("cvec"))))
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("qlabel") == F.col("clabel")).alias("same"),
+        F.round(
+            dot_pd(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnrm") * F.col("cnrm")),
+            6,
+        ).alias("cosine"),
+    )
+    pos = scored.groupBy("query_id").agg(
+        F.max(F.when(F.col("same"), F.col("cosine"))).alias(
+            "pos_cosine"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    neg = (
+        scored.filter(~F.col("same"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        neg.join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("cosine").alias("neg_cosine"),
+            "pos_cosine",
+            F.round(F.col("pos_cosine") - F.col("cosine"), 6).alias(
+                "margin"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -2806,3 +2806,64 @@ def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS neighbor_id,
+                   CAST(embedding AS DOUBLE[]) AS cv, label AS clabel
+            FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   (qlabel = clabel) AS same,
+                   ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+            FROM q CROSS JOIN c
+            WHERE query_id <> neighbor_id
+        ), pos AS (
+            SELECT query_id,
+                   MAX(CASE WHEN same THEN cosine END) AS pos_cosine
+            FROM scored GROUP BY query_id
+        ), neg AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+                       AS rank
+            FROM scored WHERE NOT same
+            QUALIFY rank <= 3
+        )
+        SELECT neg.query_id, rank, neighbor_id,
+               cosine AS neg_cosine, pos_cosine,
+               ROUND(pos_cosine - cosine, 6) AS margin
+        FROM neg JOIN pos ON neg.query_id = pos.query_id
+        ORDER BY neg.query_id, rank
+    """,
+    description="hard-negative mining for contrastive training: for "
+    "each of 20 anchor vectors, the top-3 most-cosine-similar "
+    "embeddings carrying a DIFFERENT label, each with the anchor's "
+    "best same-label cosine (the positive) and the margin positive - "
+    "negative — small or negative margins are the hard negatives a "
+    "contrastive batch samples (retrieval/embedding training "
+    "pipelines mine exactly this). Same plan contract as "
+    "llm_similarity_topk: anchors broadcast against ONE corpus scan "
+    "(the brute-force guard bounds |anchors|; an unbounded anchor set "
+    "must go to the LSH/IVF paths), per-anchor negative rank window "
+    "on the already-filtered candidate scores, positive max as a "
+    "20-row aggregate joined back broadcast. Cosines ROUND(.,6) in "
+    "both engines (sequential-fold vs list_cosine_similarity 1-ulp "
+    "noise, the llm_similarity_topk precedent); margins subtract "
+    "already-rounded values",
+    tags=("llm", "similarity"),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.similarity import hard_negative_topk
+
+    t = register_tables(spark, sf_dir)
+    return hard_negative_topk(
+        t["embeddings"], query_ids=list(range(20)), k=3
+    )

@@ -608,3 +608,21 @@ def test_calibration_partitions_and_bounds(spark, sf_dir):
             r["brier_bin"]
             >= (r["mean_pred"] - r["frac_pos"]) ** 2 - 1e-6
         )
+
+
+def test_hard_negatives_structure(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "llm_hard_negatives")
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 20
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["neg_cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        for r in rs:
+            assert -1.0 - 1e-6 <= r["neg_cosine"] <= 1.0 + 1e-6
+            assert abs(
+                (r["pos_cosine"] - r["neg_cosine"]) - r["margin"]
+            ) < 2e-6

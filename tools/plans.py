@@ -153,6 +153,7 @@ REVIEW = {
     "q164_markov_stationary": "one fact-grain lag shuffle; transition matrix checkpointed at |types|^2 then 8 power iterations as lazily-chained broadcast joins in ONE job",
     "q165_survival_rmst": "q131 shape: per-user collapse checkpointed, area terms = exact BIGINT s*gap products on the bounded duration grid (allowlisted SP windows), one division at output",
     "llm_quality_calibration": "classifier shape: literal 64-weight model in per-row codegen, ONE explode + per-doc agg, then a 10-bin map-side-combined collapse; squared errors in exact integer e8 units",
+    "llm_hard_negatives": "llm_similarity_topk shape: 20 anchors broadcast vs one corpus scan (brute-force anchor guard), negative rank window on pre-filtered candidates, 20-row positive table joined back broadcast",
 }
 
 

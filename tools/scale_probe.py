@@ -135,6 +135,7 @@ EXPECTED = {
     "q164_markov_stationary": ("one lag shuffle + |types|^2 matrix iterations, linear", 1.3),
     "q165_survival_rmst": ("per-user agg then duration-grid area terms, linear", 1.3),
     "llm_quality_calibration": ("one explode + per-doc agg then 10-bin collapse, linear", 1.3),
+    "llm_hard_negatives": ("20 anchors broadcast vs one corpus scan, linear in corpus", 1.3),
 }
 
 
