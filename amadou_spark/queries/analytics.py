@@ -1773,6 +1773,91 @@ def q130_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_survival_components(events: DataFrame):
+    """Shared Kaplan-Meier machinery for q131 (curve) and q165
+    (RMST/median): per-user time-to-first-purchase durations
+    (no-purchase users right-censored at last activity), the
+    distinct-duration grid with at-risk prefix sums, and the
+    engine-stable survival double (the q126 floor-half-up-the-log-sum
+    pattern; see the q131 oracle comment for the full rationale).
+
+    Returns ``(durations, km)`` where ``durations`` is checkpointed —
+    the grid AND the total both consume it, and without the lineage
+    cut each consumer re-executes the fact-grain per-user aggregate
+    (the r7 duplicate-subtree rule) — and ``km`` carries
+    ``(t, d, n_risk, s)`` with ``s`` the raw survival double, for the
+    caller to round/fix-point as its output requires.
+    """
+    from amadou_spark.scale import materialize_shared
+
+    day = F.to_date("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.max(day).alias("tlast"),
+    )
+    durations = materialize_shared(
+        per_user.select(
+            F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
+            .otherwise(F.datediff("tlast", "t0"))
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        )
+    )
+    grid = durations.groupBy("t").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    km = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "s",
+            # when d = n_risk the survival factor is exactly 0 and the
+            # log trick breaks — carry a cumulative zero flag instead
+            F.when(
+                F.max(
+                    F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+                ).over(w_cum)
+                == 1,
+                F.lit(0.0),
+            ).otherwise(
+                # engine-stable: floor-half-up the log-sum to 9 decimals
+                # before exp (see the q131 oracle comment / q126 pattern)
+                F.exp(
+                    F.floor(
+                        F.sum(
+                            F.when(
+                                F.col("d") < F.col("n_risk"),
+                                F.log(
+                                    1.0
+                                    - F.col("d")
+                                    / F.col("n_risk").cast("double")
+                                ),
+                            )
+                        ).over(w_cum)
+                        * 1000000000.0
+                        + 0.5
+                    )
+                    / 1000000000.0
+                )
+            ),
+        )
+    )
+    return durations, km
+
+
 @query(
     "q131_kaplan_meier",
     oracle="""
@@ -1853,69 +1938,7 @@ def q130_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q131_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    day = F.to_date("ts")
-    per_user = t["events"].groupBy("user_id").agg(
-        F.min(day).alias("t0"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", day)
-        ).alias("tp"),
-        F.max(day).alias("tlast"),
-    )
-    durations = per_user.select(
-        F.when(
-            F.col("tp").isNotNull(), F.datediff("tp", "t0")
-        )
-        .otherwise(F.datediff("tlast", "t0"))
-        .alias("t"),
-        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
-    )
-    grid = durations.groupBy("t").agg(
-        F.sum("obs").cast("bigint").alias("d"),
-        F.count("*").cast("bigint").alias("c"),
-    )
-    total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
-    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
-    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
-    km = (
-        grid.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_risk",
-            F.col("n_total")
-            - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
-        )
-        .withColumn(
-            "s",
-            # when d = n_risk the survival factor is exactly 0 and the
-            # log trick breaks — carry a cumulative zero flag instead
-            F.when(
-                F.max(
-                    F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
-                ).over(w_cum)
-                == 1,
-                F.lit(0.0),
-            ).otherwise(
-                # engine-stable: floor-half-up the log-sum to 9 decimals
-                # before exp (see oracle comment / q126 pattern)
-                F.exp(
-                    F.floor(
-                        F.sum(
-                            F.when(
-                                F.col("d") < F.col("n_risk"),
-                                F.log(
-                                    1.0
-                                    - F.col("d")
-                                    / F.col("n_risk").cast("double")
-                                ),
-                            )
-                        ).over(w_cum)
-                        * 1000000000.0
-                        + 0.5
-                    )
-                    / 1000000000.0
-                )
-            ),
-        )
-    )
+    _, km = _km_survival_components(t["events"])
     return (
         km.filter(F.col("d") > 0)
         .select(
@@ -4783,76 +4806,15 @@ def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries", "events"),
 )
 def q165_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from amadou_spark.scale import materialize_shared
-
     t = register_tables(spark, sf_dir)
-    day = F.to_date("ts")
-    per_user = t["events"].groupBy("user_id").agg(
-        F.min(day).alias("t0"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", day)
-        ).alias("tp"),
-        F.max(day).alias("tlast"),
-    )
-    # lineage cut at the per-user collapse: grid, total and horizon
-    # all consume durations, and without the checkpoint each copy
-    # re-executes the fact-grain agg
-    durations = materialize_shared(
-        per_user.select(
-            F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
-            .otherwise(F.datediff("tlast", "t0"))
-            .alias("t"),
-            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
-        )
-    )
-    grid = durations.groupBy("t").agg(
-        F.sum("obs").cast("bigint").alias("d"),
-        F.count("*").cast("bigint").alias("c"),
-    )
-    total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    # shared KM machinery (durations checkpointed inside: grid, total
+    # and horizon all consume it)
+    durations, km_raw = _km_survival_components(t["events"])
     horizon = durations.agg(F.max("t").cast("bigint").alias("h"))
-    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
-    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
     km = (
-        grid.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_risk",
-            F.col("n_total")
-            - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
-        )
-        .withColumn(
+        km_raw.withColumn(
             "s_fp",
-            F.floor(
-                F.when(
-                    F.max(
-                        F.when(
-                            F.col("d") >= F.col("n_risk"), 1
-                        ).otherwise(0)
-                    ).over(w_cum)
-                    == 1,
-                    F.lit(0.0),
-                ).otherwise(
-                    F.exp(
-                        F.floor(
-                            F.sum(
-                                F.when(
-                                    F.col("d") < F.col("n_risk"),
-                                    F.log(
-                                        1.0
-                                        - F.col("d")
-                                        / F.col("n_risk").cast("double")
-                                    ),
-                                )
-                            ).over(w_cum)
-                            * 1000000000.0
-                            + 0.5
-                        )
-                        / 1000000000.0
-                    )
-                )
-                * 1000000.0
-                + 0.5
-            ).cast("bigint"),
+            F.floor(F.col("s") * 1000000.0 + 0.5).cast("bigint"),
         )
         .filter(F.col("d") > 0)
         .select("t", "s_fp")
