@@ -1773,20 +1773,15 @@ def q130_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_survival_components(events: DataFrame):
-    """Shared Kaplan-Meier machinery for q131 (curve) and q165
-    (RMST/median): per-user time-to-first-purchase durations
-    (no-purchase users right-censored at last activity), the
-    distinct-duration grid with at-risk prefix sums, and the
-    engine-stable survival double (the q126 floor-half-up-the-log-sum
-    pattern; see the q131 oracle comment for the full rationale).
+def _km_duration_grid(events: DataFrame):
+    """Shared survival-analysis base for q131/q151/q165: per-user
+    time-to-first-purchase durations (no-purchase users
+    right-censored at last activity) and the distinct-duration grid.
 
-    Returns ``(durations, km)`` where ``durations`` is checkpointed —
-    the grid AND the total both consume it, and without the lineage
-    cut each consumer re-executes the fact-grain per-user aggregate
-    (the r7 duplicate-subtree rule) — and ``km`` carries
-    ``(t, d, n_risk, s)`` with ``s`` the raw survival double, for the
-    caller to round/fix-point as its output requires.
+    Returns ``(durations, grid, total)`` where ``durations`` is
+    checkpointed — the grid AND the total both consume it, and
+    without the lineage cut each consumer re-executes the fact-grain
+    per-user aggregate (the r7 duplicate-subtree rule).
     """
     from amadou_spark.scale import materialize_shared
 
@@ -1811,6 +1806,21 @@ def _km_survival_components(events: DataFrame):
         F.count("*").cast("bigint").alias("c"),
     )
     total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    return durations, grid, total
+
+
+def _km_survival_components(events: DataFrame):
+    """Shared Kaplan-Meier machinery for q131 (curve) and q165
+    (RMST/median) on top of :func:`_km_duration_grid`: at-risk prefix
+    sums and the engine-stable survival double (the q126
+    floor-half-up-the-log-sum pattern; see the q131 oracle comment
+    for the full rationale).
+
+    Returns ``(durations, km)`` where ``km`` carries
+    ``(t, d, n_risk, s)`` with ``s`` the raw survival double, for the
+    caller to round/fix-point as its output requires.
+    """
+    durations, grid, total = _km_duration_grid(events)
     w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
     w_cum = W.orderBy("t").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -3418,25 +3428,9 @@ def q149_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q151_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
-    day = F.to_date("ts")
-    per_user = t["events"].groupBy("user_id").agg(
-        F.min(day).alias("t0"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", day)
-        ).alias("tp"),
-        F.max(day).alias("tlast"),
-    )
-    durations = per_user.select(
-        F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
-        .otherwise(F.datediff("tlast", "t0"))
-        .alias("t"),
-        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
-    )
-    grid = durations.groupBy("t").agg(
-        F.sum("obs").cast("bigint").alias("d"),
-        F.count("*").cast("bigint").alias("c"),
-    )
-    total = durations.agg(F.count("*").cast("bigint").alias("n_total"))
+    # shared duration grid (durations checkpointed inside: the grid
+    # and the total both consume the per-user collapse)
+    _, grid, total = _km_duration_grid(t["events"])
     w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
     w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
     at_risk = grid.crossJoin(F.broadcast(total)).withColumn(
