@@ -298,6 +298,48 @@ def sp_audit(sf: str = "/root/testdata/sf0.001") -> dict[str, list[str]]:
     return bad
 
 
+def dup_agg_audit(sf: str = "/root/testdata/sf0.001") -> dict[str, dict]:
+    """The sharpened duplicate-subtree detector (r7): flag any FINAL
+    executed plan containing the SAME fact-grain HashAggregate twice
+    (expression ids stripped). This is the exact bug class — a shared
+    per-user/per-doc aggregate whose consumers each re-execute it
+    because column pruning specialized their copies — without the
+    false positives of raw scan counting (pruned re-reads are often
+    the right plan, and AQE's plan string double-prints scans via the
+    Initial Plan section). Caught q131/q151 at 2 scans, under the
+    >=4-scan signal's threshold. Executes each query (collect) so the
+    AQE final plan is real.
+    """
+    import re as _re
+
+    spark = get_spark("dup-agg-audit")
+    _load()
+    grain = _re.compile(
+        r"HashAggregate\(keys=\[(user_id|doc_id|vec_id|o_orderkey"
+        r"|l_orderkey|event_id)[#,\]]"
+    )
+    bad: dict[str, dict] = {}
+    for name, q in REGISTRY.items():
+        try:
+            df = q.fn(spark, sf)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            bad[name] = {f"plan build failed: {exc}": 1}
+            continue
+        final = plan.split("Initial Plan")[0]
+        sigs: dict[str, int] = {}
+        for line in final.splitlines():
+            m = grain.search(line)
+            if m and "partial" not in line:
+                sig = _re.sub(r"#\d+L?", "", line.strip())
+                sigs[sig] = sigs.get(sig, 0) + 1
+        dups = {s[:120]: c for s, c in sigs.items() if c >= 2}
+        if dups:
+            bad[name] = dups
+    return bad
+
+
 def main() -> None:
     if "--sp-audit" in sys.argv:
         bad = sp_audit()
@@ -306,6 +348,14 @@ def main() -> None:
             for h in hits:
                 print(f"  {h}")
         print(f"{len(bad)} quer(ies) with unallowlisted SinglePartition sorts")
+        raise SystemExit(1 if bad else 0)
+    if "--dup-agg-audit" in sys.argv:
+        bad = dup_agg_audit()
+        for name, dups in sorted(bad.items()):
+            print(f"{name}: {dups}")
+        print(
+            f"{len(bad)} quer(ies) re-executing a fact-grain aggregate"
+        )
         raise SystemExit(1 if bad else 0)
     spark = get_spark("plans")
     _load()
