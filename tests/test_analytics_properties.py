@@ -626,3 +626,14 @@ def test_hard_negatives_structure(spark, sf_dir):
             assert abs(
                 (r["pos_cosine"] - r["neg_cosine"]) - r["margin"]
             ) < 2e-6
+
+
+def test_survival_family_shares_one_grid(spark, sf_dir):
+    # q131/q151/q165 now build on _km_duration_grid; their emitted
+    # at-risk/event counts must agree row-for-row at shared days
+    km = {r["day"]: r for r in _rows(spark, sf_dir, "q131_kaplan_meier")}
+    hz = {r["day"]: r for r in _rows(spark, sf_dir, "q151_hazard_rate")}
+    assert set(km) == set(hz)
+    for day, r in km.items():
+        assert hz[day]["n_risk"] == r["n_risk"]
+        assert hz[day]["n_events"] == r["n_events"]
