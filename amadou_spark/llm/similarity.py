@@ -691,7 +691,12 @@ def hard_negative_topk(
     (or negative) are the hard ones a contrastive batch wants.
 
     Output: (query_id, rank, neighbor_id, neg_cosine, pos_cosine,
-    margin). Same plan contract as :func:`cosine_topk_bruteforce`:
+    margin). NULL-margin contract (ADVICE r7): an anchor whose label
+    class has no OTHER member in the corpus has no positive, so
+    pos_cosine and margin are NULL for all its rows — identically in
+    both engines (MAX over an empty CASE set) — and consumers must
+    treat such anchors as unmineable rather than assume float margins.
+    Same plan contract as :func:`cosine_topk_bruteforce`:
     |corpus| x |anchors| scoring is the right tool only for a small
     anchor set (the list bounds it driver-side). The scored frame is
     consumed twice (positive max + negative rank); both consumers

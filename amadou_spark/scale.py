@@ -222,6 +222,150 @@ def ntile_domain_table(
     )
 
 
+def ntile_from_rank_py(rank: int, n: int, k: int) -> int:
+    """Driver-side twin of :func:`ntile_from_rank` — identical sizing
+    (first ``n % k`` buckets hold ``ceil(n/k)`` rows). Used by
+    :func:`ntile_domain_table_local` to stamp bucket bounds while
+    building a local-relation lookup table."""
+    q, r = n // k, n % k
+    big = r * (q + 1)
+    if rank <= big:
+        return (rank + q) // (q + 1)
+    return r + (rank - big + q - 1) // q
+
+
+def ntile_domain_tables_local(
+    counts_input: DataFrame,
+    specs: list[tuple[str, int, str]],
+) -> dict[str, DataFrame]:
+    """:func:`ntile_domain_table`, materialized as driver-side LOCAL
+    RELATIONS for SEVERAL measures with ONE job: melt the measures to
+    ``(measure, value)`` long form, count distinct values map-side,
+    collect the bounded result (|domain| rows per measure — a
+    value-domain table: observation-window dates, small-int counts, a
+    fixed price grid — data-size-independent by construction, same
+    class as the registry's 1-row argmax actions), compute prefix sums
+    and ntile bounds in plain Python, and return one
+    pandas-Arrow-backed DataFrame per measure.
+
+    ``specs`` is ``[(value_col, k, prefix), ...]``; the result maps
+    each ``prefix`` to a table with the :func:`ntile_domain_table`
+    schema (``{prefix}_v/_c/_n/_before/_lo/_hi``). Point
+    ``counts_input`` at a checkpointed frame so the melt never
+    re-executes a fact-grain plan.
+
+    Why local relations: the cluster-side variant pays a crossJoin
+    stage plus a broadcast-exchange JOB per table per consumer (column
+    pruning specializes each consumer's copy, so ReuseExchange cannot
+    dedup them — measured: 6 one-per-branch broadcast jobs in q118);
+    an Arrow-backed ``createDataFrame(pandas)`` plans as a true
+    ``LocalRelation``, whose broadcast build is a driver-side
+    ``executeCollect`` with NO job. Supported value types: DateType
+    and integral types (the bounded-domain cases). Determinism: counts
+    are collected unordered but keyed by DISTINCT values and sorted in
+    Python before the prefix sum — identical tables for any partition
+    layout.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = counts_input.sparkSession
+    melt_args: list = []
+    decoders = {}
+    for value_col, _k, prefix in specs:
+        dt = counts_input.schema[value_col].dataType
+        c = F.col(value_col)
+        if isinstance(dt, T.DateType):
+            enc = F.datediff(c, F.lit("1970-01-01")).cast("bigint")
+            decoders[prefix] = (
+                dt,
+                lambda v: _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v)),
+            )
+        elif isinstance(dt, T.TimestampType):
+            # epoch micros; decoded as UTC-naive to match the engine's
+            # pinned UTC session timezone (session.py)
+            enc = F.unix_micros(c)
+            decoders[prefix] = (
+                dt,
+                lambda v: _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=int(v)),
+            )
+        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            enc = c.cast("bigint")
+            decoders[prefix] = (dt, int)
+        else:  # pragma: no cover - contract guard
+            raise TypeError(
+                f"ntile_domain_tables_local: unsupported domain type {dt} "
+                f"for {value_col}; bounded domains are dates or integers"
+            )
+        melt_args.extend([F.lit(prefix), enc])
+    n_m = len(specs)
+    melted = (
+        counts_input.select(
+            F.stack(F.lit(n_m), *melt_args).alias("_m", "_v")
+        )
+        .groupBy("_m", "_v")
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    by_prefix: dict[str, list] = {p: [] for _, _, p in specs}
+    for r in melted:
+        by_prefix[r["_m"]].append((r["_v"], r["_c"]))
+    out: dict[str, DataFrame] = {}
+    for value_col, k, prefix in specs:
+        rows = sorted(by_prefix[prefix])
+        n = sum(c for _, c in rows)
+        vdt, dec = decoders[prefix]
+        rec, before = [], 0
+        for v, c in rows:
+            rec.append(
+                (
+                    dec(v),
+                    c,
+                    n,
+                    before,
+                    ntile_from_rank_py(before + 1, n, k),
+                    ntile_from_rank_py(before + c, n, k),
+                )
+            )
+            before += c
+        schema = T.StructType(
+            [
+                T.StructField(f"{prefix}_v", vdt, False),
+                T.StructField(f"{prefix}_c", T.LongType(), False),
+                T.StructField(f"{prefix}_n", T.LongType(), False),
+                T.StructField(f"{prefix}_before", T.LongType(), False),
+                T.StructField(f"{prefix}_lo", T.IntegerType(), False),
+                T.StructField(f"{prefix}_hi", T.IntegerType(), False),
+            ]
+        )
+        pdf = pd.DataFrame(
+            rec,
+            columns=[
+                f"{prefix}_v",
+                f"{prefix}_c",
+                f"{prefix}_n",
+                f"{prefix}_before",
+                f"{prefix}_lo",
+                f"{prefix}_hi",
+            ],
+        )
+        out[prefix] = spark.createDataFrame(pdf, schema)
+    return out
+
+
+def ntile_domain_table_local(
+    counts_input: DataFrame, value_col: str, k: int, prefix: str
+) -> DataFrame:
+    """Single-measure sugar over :func:`ntile_domain_tables_local`."""
+    return ntile_domain_tables_local(counts_input, [(value_col, k, prefix)])[
+        prefix
+    ]
+
+
 def bounded_domain_ntile(
     df: DataFrame,
     value_col: str,

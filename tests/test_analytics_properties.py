@@ -570,9 +570,10 @@ def test_markov_stationary_is_a_distribution(spark, sf_dir):
     rows = _rows(spark, sf_dir, "q164_markov_stationary")
     assert rows
     total = sum(r["stationary_p"] for r in rows)
-    # e6 fixed-point truncation across 8 iterations: the mass can sag
-    # by a few 1e-4 but must stay a near-distribution
-    assert abs(total - 1.0) < 5e-3
+    # r8 (ADVICE r7): the output is renormalized by its own integer
+    # sum, so the only residual error is the per-state e6->4dp
+    # rounding: |sum - 1| <= k * 5e-5
+    assert abs(total - 1.0) <= len(rows) * 5e-5 + 1e-9
     for r in rows:
         assert 0.0 <= r["stationary_p"] <= 1.0
 
@@ -623,9 +624,14 @@ def test_hard_negatives_structure(spark, sf_dir):
         assert cos == sorted(cos, reverse=True)
         for r in rs:
             assert -1.0 - 1e-6 <= r["neg_cosine"] <= 1.0 + 1e-6
-            assert abs(
-                (r["pos_cosine"] - r["neg_cosine"]) - r["margin"]
-            ) < 2e-6
+            if r["pos_cosine"] is None:
+                # documented NULL-margin contract: a singleton label
+                # class has no positive, so margin is NULL too
+                assert r["margin"] is None
+            else:
+                assert abs(
+                    (r["pos_cosine"] - r["neg_cosine"]) - r["margin"]
+                ) < 2e-6
 
 
 def test_survival_family_shares_one_grid(spark, sf_dir):

@@ -93,7 +93,7 @@ REVIEW = {
     "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle",
     "q116_bitmap_intersection": "bitmap (type,bucket)->word table materialized once; pair overlap = bucket equi-join + bit_count sum, 64x smaller than distinct pairs",
     "q117_seasonal_index": "daily rollup is the only pass over raw events; per-type base joins back as a broadcast",
-    "q118_rfm_segments": "orders collapse to the customer grain ONCE (checkpointed — column pruning specializes each consumer's copy of the agg, so exchange reuse can't dedup it: 21 duplicate exchanges measured without the materialize); ALL THREE quartile measures then ride value-domain ntile lookup tables (recency/frequency naturally bounded; monetary via exact-cents + monotone $1000 coarsening), boundary-run tie-breaks filtered before their windows, union at the 64-cell census grain — zero fact-grain sorts, zero Exchange SinglePartition (r7 rewrite per VERDICT r6 #4; was 3 global_rank passes)",
+    "q118_rfm_segments": "orders collapse to the customer grain ONCE (checkpointed — column pruning specializes each consumer's copy of the agg, so exchange reuse can't dedup it: 21 duplicate exchanges measured without the materialize); ALL THREE quartile measures then ride value-domain ntile LOCAL-RELATION lookup tables (r8 per VERDICT r7: one melted domain-sized collect off the checkpoint, prefix sums in Python, LocalTableScan broadcasts build job-free; recency/frequency naturally bounded, monetary via exact-cents + monotone $1000 coarsening), boundary-run tie-breaks filtered before their windows, union at ROW grain into ONE census aggregate (r8: the per-branch aggregates each cost an AQE stage for nothing) — zero fact-grain sorts, zero Exchange SinglePartition (2.72s -> ~1.5-1.7s at sf0.1)",
     "q119_rolling_distinct": "rolling 7d COUNT DISTINCT without a range join: (user,day) grain materialized once, bounded 7x sequence() fan-out, day list broadcast semi-join, one distinct agg",
     "q120_association_rules": "basket table materialized once feeds pair/item/total; a-priori ITEM prune semi-joins sub-threshold items out BEFORE the pair self-join (r6), min-support HAVING prunes again at the pair agg; supports broadcast back; top-25 by lift",
     "q121_snaive_backtest": "forecast = lag(7) so backtest is daily rollup + ONE window + one agg — zero joins",
@@ -314,9 +314,12 @@ def dup_agg_audit(sf: str = "/root/testdata/sf0.001") -> dict[str, dict]:
 
     spark = get_spark("dup-agg-audit")
     _load()
+    # r8 (ADVICE r7): match the grain column ANYWHERE inside keys=[...]
+    # (composite grains like (arm, user_id) must not escape the gate),
+    # and include the customer grain alongside the user/doc/order ones
     grain = _re.compile(
-        r"HashAggregate\(keys=\[(user_id|doc_id|vec_id|o_orderkey"
-        r"|l_orderkey|event_id)[#,\]]"
+        r"HashAggregate\(keys=\[[^\]]*\b(user_id|doc_id|vec_id|o_orderkey"
+        r"|l_orderkey|event_id|o_custkey|c_custkey)#"
     )
     bad: dict[str, dict] = {}
     for name, q in REGISTRY.items():
