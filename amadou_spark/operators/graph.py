@@ -1057,6 +1057,42 @@ def _blocked_adjacency(sym: DataFrame, chunk: int) -> DataFrame:
     )
 
 
+def _hash_not_sort(
+    side: DataFrame, sized: DataFrame, bytes_per_row: int, spark
+) -> DataFrame:
+    """Join-side wrapper enforcing "hash, never sort" for a build side
+    whose row count is CHEAP to measure (``sized`` must be materialized
+    — checkpoint blocks — so the count is a metadata-ish job, not a
+    recompute). Clearly under the broadcast threshold → returned
+    unhinted, letting AQE pick broadcast; at or past it → shuffle_hash
+    hint, so the borderline-stats regime can never fall into
+    sort-merge (which would sort the big probe side).
+    """
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.rstrip("b").endswith(suffix):
+            mult = m
+            raw = raw.rstrip("b")[:-1]
+            break
+    else:
+        raw = raw.rstrip("b")
+    try:
+        threshold = int(raw) * mult
+    except ValueError:  # pragma: no cover - conf format guard
+        threshold = 10 << 20
+    if threshold <= 0:  # broadcast disabled -> always hash
+        return side.hint("shuffle_hash")
+    est = sized.count() * bytes_per_row
+    # generous 2x margin: when AQE *might* decline the broadcast, we
+    # must already be hinted — half-in-half-out is the bimodal regime
+    if est * 2 < threshold:
+        return side
+    return side.hint("shuffle_hash")
+
+
 def adamic_adar(edges: DataFrame, chunk: int = 32) -> DataFrame:
     """Adamic-Adar link-prediction scores for every non-adjacent node
     pair with >= 1 common neighbor: each wedge center u contributes
@@ -1114,9 +1150,25 @@ def adamic_adar(edges: DataFrame, chunk: int = 32) -> DataFrame:
         F.col("blk").alias("r_blk"),
         F.explode(F.expr("sequence(0, blk)")).alias("i"),
     )
+    # r8 (BENCH_SF1): never let the wedge-grain joins run as SORT-MERGE.
+    # Left unhinted, AQE flips them between broadcast (fast) and
+    # sort-merge near the 10 MB stats boundary, and the sort-merge mode
+    # SORTS the fanned-out adjacency and the full wedge stream — the
+    # measured 13s-vs-135s bimodality at the sf1 slice (BENCH_SCALE's
+    # min-of-N had been masking the slow mode). Decision is SIZE-GATED
+    # on the already-materialized build side (one cheap count over
+    # checkpoint blocks): clearly under the broadcast threshold → leave
+    # unhinted so AQE broadcasts (a blanket shuffle_hash hint measured
+    # 2-4x slower at sf0.1 by suppressing that); otherwise hint SHUFFLED
+    # HASH — build side partitioned on the join key, per-partition size
+    # bounded by key-space share (and per-key volume by the ~chunk-row
+    # block invariant), so it scales where a forced broadcast of a
+    # corpus-dependent table would OOM.
+    spark = edges.sparkSession
+    right_sized = _hash_not_sort(right, adj, 48, spark)
     wedge = (
         left.join(
-            right,
+            right_sized,
             (F.col("src") == F.col("r_src"))
             & (F.col("blk") == F.col("i"))
             & (F.col("j") == F.col("r_blk")),
@@ -1132,7 +1184,9 @@ def adamic_adar(edges: DataFrame, chunk: int = 32) -> DataFrame:
     )
     return (
         wedge.join(
-            e, (wedge["b"] == e["u"]) & (wedge["c"] == e["v"]), "left_anti"
+            _hash_not_sort(e, e, 32, spark),
+            (wedge["b"] == e["u"]) & (wedge["c"] == e["v"]),
+            "left_anti",
         )
         .groupBy("b", "c")
         .agg(

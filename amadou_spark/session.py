@@ -59,6 +59,27 @@ def get_spark(
     ``config`` (last writer wins before getOrCreate). Secrets should go
     through :func:`inject_s3_credentials` after the session exists.
     """
+    # Arm the protobuf compat shim for Python WORKERS before the JVM
+    # exists (workers inherit the executor JVM's env, so a later
+    # os.environ edit never reaches them): prepend the sitecustomize
+    # dir that installs google.protobuf from the system gcloud SDK.
+    # No-op on images with a real protobuf or without the SDK copy.
+    # See amadou_spark/compat/protobuf_compat.py.
+    try:
+        from amadou_spark.compat.protobuf_compat import (
+            worker_pythonpath_entries,
+        )
+
+        extra = worker_pythonpath_entries()
+        if extra:
+            prior = os.environ.get("PYTHONPATH", "")
+            parts = [p for p in extra if p not in prior.split(os.pathsep)]
+            if parts:
+                os.environ["PYTHONPATH"] = os.pathsep.join(
+                    parts + ([prior] if prior else [])
+                )
+    except Exception:
+        pass
     builder = SparkSession.builder.appName(app_name).master(master or default_master())
     merged = dict(_DEFAULTS)
     if conf:

@@ -35,12 +35,18 @@ from pyspark.sql.streaming.stateful_processor import (
 
 def protobuf_available() -> bool:
     """transformWithState needs google.protobuf for its state-server
-    protocol; absent → the query crashes at init, so probe first."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    protocol; absent → the query crashes at init, so probe first.
 
-        return True
-    except ImportError:
+    r8: probes THROUGH the compat shim — on images with no protobuf
+    distribution but a system Google Cloud SDK, the cloudsdk-bundled
+    pure-Python runtime is aliased in (driver side here; workers via
+    the PYTHONPATH sitecustomize armed by ``session.get_spark`` —
+    see ``amadou_spark/compat/protobuf_compat.py``)."""
+    try:
+        from amadou_spark.compat.protobuf_compat import install_protobuf_shim
+
+        return install_protobuf_shim()
+    except Exception:
         return False
 
 
@@ -71,7 +77,20 @@ class RunningTotals(StatefulProcessor):
 def running_totals_stream(events: DataFrame) -> DataFrame:
     """events stream -> per-user running totals, one output row per
     (user, micro-batch that touched it). Update output mode: downstream
-    sinks see the LATEST running value per key."""
+    sinks see the LATEST running value per key.
+
+    Pins the session to the RocksDB state-store provider before the
+    query starts: transformWithState keeps each state variable in its
+    own column family, which the default HDFSBackedStateStoreProvider
+    rejects ([UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES]).
+    RocksDB is the production posture anyway and serves the legacy
+    applyInPandasWithState/dedup/upsert operators equally well; fresh
+    queries pick it up at start, running queries are unaffected."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

@@ -1,0 +1,126 @@
+"""Executed-plan signature pins (VERDICT r7 #7 stretch).
+
+The bench catches a plan regression only as a timing drift on a noisy
+VM; these pins make the SUITE fail instead. For the most expensive /
+most plan-claim-bearing queries we assert the structural properties
+their PLANS.md entries promise — a silent broadcast->sort-merge flip, a
+reintroduced single-partition sort, a lost TakeOrderedAndProject, or a
+new cartesian product turns into a red test, not a 1.4x bench mystery.
+
+Pins are written against the FINAL AQE plan (collect() first, then
+``executedPlan().toString()`` truncated at the "Initial Plan" section)
+and use only properties that hold at ANY scale factor: absence lists
+always, minimum operator counts only where the plan shape guarantees
+them structurally (a 6-way dim join has >= 5 joins at any sf; q164's 8
+unrolled iterations are 8 joins by construction). Exact counts are
+deliberately avoided — AQE may legally specialize empty branches at
+tiny sf.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from amadou_spark.queries import REGISTRY, _load
+
+#: name -> (forbidden substrings, {substring: min count})
+PINS: dict[str, tuple[list[str], dict[str, int]]] = {
+    # 6-way join showcase: every dim side broadcasts, never sort-merge
+    "q29_tpch_q5": (
+        ["SortMergeJoin", "CartesianProduct", "Exchange SinglePartition"],
+        {"BroadcastHashJoin": 5},
+    ),
+    # flagship agg: pure scan->partial->final agg, no join, no 1-task sort
+    "q13_tpch_q1": (
+        [
+            "SortMergeJoin",
+            "CartesianProduct",
+            "Exchange SinglePartition",
+            "BroadcastNestedLoopJoin",
+        ],
+        {"HashAggregate": 2},
+    ),
+    # RFM census: lookup tables are LocalRelations joined broadcast;
+    # the only sorts are the <=3-boundary-run windows
+    "q118_rfm_segments": (
+        ["SortMergeJoin", "CartesianProduct", "Exchange SinglePartition"],
+        {"BroadcastHashJoin": 3, "LocalTableScan": 3},
+    ),
+    # 8 unrolled power iterations = 8 broadcast joins against the
+    # checkpointed |types|^2 matrix, in one job. (SinglePartition is
+    # NOT forbidden here: the |states|-row final sort and the 1-row
+    # renormalization aggregate are allowlisted bounded grains —
+    # tools/plans.py sp_audit owns that nuance.)
+    "q164_markov_stationary": (
+        ["SortMergeJoin", "CartesianProduct"],
+        {"BroadcastHashJoin": 8},
+    ),
+    # iterative graph ops: final plans read checkpointed rounds, but a
+    # cartesian or single-partition regression in the tail still shows
+    "q102_sssp": (
+        ["CartesianProduct", "Exchange SinglePartition"],
+        {},
+    ),
+    "q98_kcore": (
+        ["CartesianProduct", "Exchange SinglePartition"],
+        {},
+    ),
+    # bounded-grain SinglePartition (end-only normalization aggregates)
+    # is allowlisted by sp_audit, so only cartesians are pinned here
+    "q159_hits": (
+        ["CartesianProduct"],
+        {},
+    ),
+    "llm_split_leakage_safe": (
+        ["CartesianProduct", "Exchange SinglePartition"],
+        {},
+    ),
+    # BM25: scoring is per-row arithmetic off a 1-row broadcast — a
+    # reintroduced fact-grain join would resurface as sort-merge
+    # (the 1-row df/n/avgdl fold is an allowlisted bounded
+    # SinglePartition aggregate — not pinned away)
+    "llm_text_bm25": (
+        ["SortMergeJoin", "CartesianProduct"],
+        {"TakeOrderedAndProject": 1},
+    ),
+}
+
+#: top-k claimants (PLANS.md "TakeOrderedAndProject, no global sort"):
+#: resolved dynamically because the registry names differ per family
+TOPK_PINNED = ["q19_top_k", "q120_association_rules"]
+
+
+def _final_plan(spark, sf_dir, name) -> str:
+    _load()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()  # force the real AQE final plan, not the template
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("Initial Plan")[0]
+
+
+@pytest.mark.parametrize("name", sorted(PINS))
+def test_plan_signature(spark, sf_dir, name):
+    forbidden, mins = PINS[name]
+    plan = _final_plan(spark, sf_dir, name)
+    for bad in forbidden:
+        assert bad not in plan, f"{name}: {bad} entered the plan\n{plan[:3000]}"
+    for op, n in mins.items():
+        found = len(re.findall(re.escape(op), plan))
+        assert found >= n, (
+            f"{name}: expected >= {n} {op}, found {found}\n{plan[:3000]}"
+        )
+
+
+@pytest.mark.parametrize("name", TOPK_PINNED)
+def test_topk_stays_heap_based(spark, sf_dir, name):
+    """LIMIT+ORDER must plan as TakeOrderedAndProject (per-partition
+    heaps); a global range-sort would be an Exchange rangepartitioning
+    + Sort over the full input."""
+    _load()
+    if name not in REGISTRY:
+        pytest.skip(f"{name} not registered")
+    plan = _final_plan(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "Exchange rangepartitioning" not in plan, plan[:3000]

@@ -116,6 +116,14 @@ def main() -> None:
         for n in t_big
         if n in t_small
     }
+    # a subset run refreshes its rows INSIDE the full artifact rather
+    # than clobbering the registry-wide record (the determinism.py rule)
+    path = os.path.join(REPO, "BENCH_SF1.json")
+    if args.queries and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh).get("queries", {})
+        prior.update(queries)
+        queries = prior
     flagged = sorted(
         n for n, v in queries.items() if v["ratio"] > args.gate
     )
@@ -137,7 +145,6 @@ def main() -> None:
         "errors": errs,
         "queries": dict(sorted(queries.items())),
     }
-    path = os.path.join(REPO, "BENCH_SF1.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(
