@@ -4868,3 +4868,200 @@ def q165_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rmst_days",
         "median_survival_days",
     )
+
+
+@query(
+    "q166_theil_sen",
+    oracle="""
+        WITH mon AS (
+            SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+                   CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ), pairs AS (
+            -- slope in MILLI-CENTS per month: diff*1000 stays exact in
+            -- a double (|diff| <= ~1e11 cents at sf1), one correctly-
+            -- rounded division, floor-half-up to a BIGINT grid so the
+            -- median selection below compares exact integers
+            SELECT CAST(FLOOR((b.c - a.c) * 1000.0 / (b.m - a.m) + 0.5)
+                        AS BIGINT) AS s
+            FROM mon a JOIN mon b ON a.m < b.m
+        ), cnt AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS cs FROM pairs GROUP BY s
+        ), cum AS (
+            SELECT s, cs,
+                   SUM(cs) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cs) OVER () AS n
+            FROM cnt
+        )
+        SELECT CAST((SELECT count(*) FROM mon) AS BIGINT) AS n_months,
+               CAST(MAX(n) AS BIGINT) AS n_pairs,
+               ROUND(MAX(CASE WHEN (n + 1) // 2 > cum - cs
+                               AND (n + 1) // 2 <= cum THEN s END)
+                     / 100000.0, 4) AS slope_dollars_per_month
+        FROM cum
+    """,
+    description="Theil-Sen robust trend estimator on monthly revenue: "
+    "the LOWER MEDIAN of all pairwise slopes between month totals — "
+    "the outlier-resistant alternative to OLS for 'is revenue "
+    "trending up' (breakdown point 29%). Scale shape: ONE orders scan "
+    "collapses to the checkpointed calendar-bounded month grain "
+    "(|months| rows, data-size independent); the pairwise slope set "
+    "(|months|^2/2) and its median-by-exact-rank both live on that "
+    "bounded grid, so the only fact-grain work is the initial "
+    "aggregate. Engine stability: month totals are exact integer "
+    "CENTS (q133 floor-half-up pin), slopes land on an exact "
+    "milli-cent BIGINT grid (diff*1000 <= 2^53 documented bound, one "
+    "correctly-rounded double division), and the median is selected "
+    "by integer rank off a prefix sum — no interpolation, no "
+    "association-order floats",
+    tags=("stats", "timeseries"),
+)
+def q166_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    # month grain is consumed three times (both pair legs + the month
+    # count); checkpoint so the orders fact aggregate runs ONCE
+    mon = materialize_shared(
+        t["orders"]
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    n_months = mon.agg(F.count("*").cast("bigint").alias("n_months"))
+    b = mon.select(F.col("m").alias("m2"), F.col("c").alias("c2"))
+    pairs = mon.join(b, F.col("m") < F.col("m2")).select(
+        F.floor(
+            (F.col("c2") - F.col("c"))
+            * 1000.0
+            / (F.col("m2") - F.col("m"))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    cnt = pairs.groupBy("s").agg(F.count("*").cast("bigint").alias("cs"))
+    w_cum = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cnt.select(
+        "s",
+        "cs",
+        F.sum("cs").over(w_cum).alias("cum"),
+        F.sum("cs").over(W.partitionBy()).alias("n"),
+    )
+    target = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    med = cum.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.max(
+                F.when(
+                    (target > F.col("cum") - F.col("cs"))
+                    & (target <= F.col("cum")),
+                    F.col("s"),
+                )
+            )
+            / 100000.0,
+            4,
+        ).alias("slope_dollars_per_month"),
+    )
+    return med.crossJoin(F.broadcast(n_months)).select(
+        "n_months", "n_pairs", "slope_dollars_per_month"
+    )
+
+
+@query(
+    "q167_dow_effect",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ), g AS (
+            SELECT (dayofweek(day) + 1) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(SUM(x) AS BIGINT) AS s_g,
+                   CAST(SUM(x * x) AS BIGINT) AS q_g
+            FROM daily GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   CAST(SUM(q_g) AS BIGINT) AS q,
+                   -- e6 fixed-point Σ s_g²/n_g and S²/n: exact integer
+                   -- round-half-up divisions (all positive), summed as
+                   -- BIGINTs — no association-order doubles
+                   CAST(SUM((2 * s_g * s_g * 1000000 + n_g) // (2 * n_g))
+                        AS BIGINT) AS a_fp
+            FROM g
+        )
+        SELECT n AS n_days, k AS k_groups,
+               ROUND(CAST(a_fp - (2 * s * s * 1000000 + n) // (2 * n)
+                          AS DOUBLE)
+                     / (q * 1000000
+                        - (2 * s * s * 1000000 + n) // (2 * n)), 6)
+                   AS eta_squared,
+               ROUND(CAST(a_fp - (2 * s * s * 1000000 + n) // (2 * n)
+                          AS DOUBLE) * (n - k)
+                     / (CAST(q * 1000000 - a_fp AS DOUBLE) * (k - 1)), 6)
+                   AS f_stat
+        FROM tot
+    """,
+    description="day-of-week seasonality strength of daily order "
+    "volume: one-way ANOVA effect size (eta-squared = SSB/SST) and "
+    "F statistic with weekday as the factor — the 'is there a weekly "
+    "cycle worth modeling' diagnostic that gates seasonal features. "
+    "Scale shape: one fact aggregate to the calendar-bounded day "
+    "grain, then everything lives on <= 7 group rows. Engine "
+    "stability: daily counts are integers so all sums are exact; the "
+    "two rational terms (Σ s_g²/n_g, S²/n) are e6 fixed-point via "
+    "exact integer round-half-up division (operands positive, so "
+    "DuckDB // floor and Spark div truncation agree), leaving ONE "
+    "double division per output. Weekday numbering pinned to Spark's "
+    "dayofweek (1=Sunday) with dayofweek+1 on the DuckDB side",
+    tags=("stats", "timeseries"),
+)
+def q167_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    g = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        F.sum(F.expr("(2 * s_g * s_g * 1000000 + n_g) div (2 * n_g)"))
+        .cast("bigint")
+        .alias("a_fp"),
+    )
+    t_fp = F.expr("(2 * s * s * 1000000 + n) div (2 * n)")
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_groups"),
+        F.round(
+            (F.col("a_fp") - t_fp).cast("double")
+            / (F.col("q") * 1000000 - t_fp),
+            6,
+        ).alias("eta_squared"),
+        F.round(
+            (F.col("a_fp") - t_fp).cast("double")
+            * (F.col("n") - F.col("k"))
+            / (
+                (F.col("q") * 1000000 - F.col("a_fp")).cast("double")
+                * (F.col("k") - 1)
+            ),
+            6,
+        ).alias("f_stat"),
+    )

@@ -2867,3 +2867,88 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(
         t["embeddings"], query_ids=list(range(20)), k=3
     )
+
+
+@query(
+    "llm_dedup_cluster_stats",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), ok AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT id_a, id_b FROM common
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+        ), sym AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ), walk AS (
+            SELECT a AS src, b AS node FROM sym
+            UNION
+            SELECT w.src, s.b FROM walk w JOIN sym s ON w.node = s.a
+        ), clusters AS (
+            SELECT src AS doc_id, LEAST(src, MIN(node)) AS cluster_id
+            FROM walk GROUP BY src
+        ), sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    description="the dedup AUDIT REPORT: duplicate-cluster size "
+    "histogram (how many 2-doc, 3-doc, ... near-dup families the "
+    "3-gram-Jaccard>=0.5 graph contains, and how many documents each "
+    "size class absorbs) — the table a data-curation run publishes "
+    "before choosing keep-one-per-cluster, and the distribution whose "
+    "heavy tail flags template spam. Scale shape: identical to "
+    "llm_dedup_clusters (inverted-index candidate pairs with the "
+    "stop-shingle cap, exact verify, star-contraction connected "
+    "components) plus two bounded aggregates — the histogram grain is "
+    "|distinct sizes|, data-size independent. Oracle = the same "
+    "recursive-CTE transitive closure, re-aggregated to the size "
+    "histogram",
+)
+def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.llm.dedup import ngram_jaccard_pairs
+    from amadou_spark.operators.graph import connected_components
+
+    t = register_tables(spark, sf_dir)
+    edges = ngram_jaccard_pairs(
+        t["documents"], min_jaccard=0.5, max_shingle_freq=1000
+    ).select("id_a", "id_b")
+    sizes = (
+        connected_components(edges)
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -273,6 +273,9 @@ SP_ALLOWLIST: dict[str, str] = {
     "q152_kruskal_wallis": "collapsed whole-dollar totalprice value domain (q124 shape)",
     # r7 second batch: same duration grid as q131/q151
     "q165_survival_rmst": "per-distinct-duration grid (q131 shape)",
+    # r8: pairwise-slope grid over the calendar month domain —
+    # <= |months|^2/2 distinct slope values at any sf (~3.5k rows)
+    "q166_theil_sen": "month-pair slope grid (calendar^2-bounded)",
 }
 
 

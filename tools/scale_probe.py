@@ -136,6 +136,10 @@ EXPECTED = {
     "q165_survival_rmst": ("per-user agg then duration-grid area terms, linear", 1.3),
     "llm_quality_calibration": ("one explode + per-doc agg then 10-bin collapse, linear", 1.3),
     "llm_hard_negatives": ("20 anchors broadcast vs one corpus scan, linear in corpus", 1.3),
+    # r8 additions
+    "q166_theil_sen": ("one fact agg to the month grain; pairs/median on the bounded grid", 1.3),
+    "q167_dow_effect": ("one fact agg to the day grain; ANOVA on <=7 group rows", 1.3),
+    "llm_dedup_cluster_stats": ("jaccard pairs + CC + bounded histogram, linear like llm_dedup_clusters", 1.3),
 }
 
 
