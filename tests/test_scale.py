@@ -372,3 +372,50 @@ def test_bounded_domain_ntile_monotone_coarsening(spark):
             ).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_ntile_domain_tables_local_matches_cluster_side(spark):
+    """The r8 local-relation lookup tables must be VALUE-identical to
+    the broadcast-nested-loop ntile_domain_table they replaced (q118
+    rides them interchangeably), across integer and date domains and
+    bucket counts, and must plan as a LocalTableScan (the whole point:
+    broadcast builds with no job)."""
+    import datetime
+
+    from amadou_spark.scale import (
+        ntile_domain_table,
+        ntile_domain_tables_local,
+    )
+
+    vals = [7, 1, 7, 3, 9, 1, 1, 12, 3, 7, 7, 2] * 5
+    rows = [
+        (i, v, datetime.date(2020, 1, 1) + datetime.timedelta(days=v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "id int, v long, d date")
+    for col, k in (("v", 4), ("v", 3), ("d", 4)):
+        want = sorted(
+            map(tuple, ntile_domain_table(df, col, k, "p").collect())
+        )
+        local = ntile_domain_tables_local(df, [(col, k, "p")])["p"]
+        got = sorted(map(tuple, local.collect()))
+        assert got == want, (col, k)
+        assert "LocalTableScan" in local._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ntile_domain_tables_local_one_melt_many_measures(spark):
+    """Several measures share ONE collect; each table matches its
+    single-measure twin."""
+    from amadou_spark.scale import (
+        ntile_domain_table_local,
+        ntile_domain_tables_local,
+    )
+
+    rows = [(i, i % 5, (i * 7) % 11) for i in range(97)]
+    df = spark.createDataFrame(rows, "id int, a long, b long")
+    tabs = ntile_domain_tables_local(df, [("a", 4, "a"), ("b", 3, "b")])
+    for col, k, p in (("a", 4, "a"), ("b", 3, "b")):
+        single = sorted(
+            map(tuple, ntile_domain_table_local(df, col, k, p).collect())
+        )
+        assert sorted(map(tuple, tabs[p].collect())) == single

@@ -189,7 +189,11 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
     from amadou_spark.streaming.stateful import protobuf_available, running_totals_stream
 
     if not protobuf_available():
-        pytest.skip("transformWithState needs google.protobuf (absent in image)")
+        # r8: protobuf_available() now arms the compat shim (cloudsdk
+        # runtime aliased to google.protobuf), so on this image the
+        # test RUNS; the skip remains only for hosts with neither a
+        # native protobuf nor a Google Cloud SDK install
+        pytest.skip("transformWithState needs google.protobuf (no native install, no cloudsdk copy to shim)")
 
     events = load_table(spark, sf_dir, "events").filter("user_id < 20")
     src = str(tmp_path / "src")
