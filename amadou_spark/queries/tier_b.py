@@ -664,3 +664,45 @@ def b06_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     result = run_stream_to_table(daily_rollup(stream), mode="complete")
     return result.orderBy("day", "event_type")
+
+
+@query(
+    "b07_tws_running_totals",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) AS total_cents
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    description="Spark 4 transformWithState (typed ValueState, the "
+    "applyInPandasWithState successor) EXECUTED end-to-end: per-user "
+    "running (count, sum) carried in a ValueState through the RocksDB "
+    "state store, driven over the events parquet replayed as a stream. "
+    "The single-microbatch replay makes the update-mode output equal "
+    "the batch aggregate — the batch/stream duality oracle. Engine "
+    "stability: the summed column is pre-mapped to exact integer CENTS "
+    "(floor-half-up, the q133 pin) so the pandas float accumulation "
+    "inside the processor is exact-integer arithmetic and association "
+    "order can never matter. Runs on this image via the protobuf "
+    "compat shim (amadou_spark/compat) — the operator the r5-r7 "
+    "rounds could only cover by its legacy-API twin b07_stateful_counts",
+)
+def b07_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadou_spark.streaming.stateful import (
+        protobuf_available,
+        running_totals_stream,
+    )
+
+    if not protobuf_available():  # pragma: no cover - other images
+        raise RuntimeError(
+            "transformWithState needs google.protobuf (no native "
+            "install and no cloudsdk copy to shim)"
+        )
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100 + 0.5).cast("double")
+    )
+    out = run_stream_to_table(running_totals_stream(stream), mode="update")
+    return out.withColumnRenamed("total_value", "total_cents").orderBy(
+        "user_id"
+    )

@@ -643,3 +643,49 @@ def test_survival_family_shares_one_grid(spark, sf_dir):
     for day, r in km.items():
         assert hz[day]["n_risk"] == r["n_risk"]
         assert hz[day]["n_events"] == r["n_events"]
+
+
+def test_theil_sen_pair_arithmetic(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "q166_theil_sen")
+    k = row["n_months"]
+    assert k >= 2
+    # every unordered month pair contributes exactly one slope
+    assert row["n_pairs"] == k * (k - 1) // 2
+    assert row["slope_dollars_per_month"] is not None
+    # the median pairwise slope is bounded by the extreme pairwise
+    # slopes, which are themselves bounded by total revenue range
+    # per month-step >= 1; sanity: finite magnitude
+    assert abs(row["slope_dollars_per_month"]) < 1e12
+
+
+def test_dow_effect_is_a_valid_anova(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "q167_dow_effect")
+    assert row["k_groups"] == 7  # every weekday occurs in the window
+    assert row["n_days"] > row["k_groups"]
+    # eta^2 = SSB/SST in [0, 1] (fixed-point rounding can graze the
+    # edges by <= 1e-6)
+    assert -1e-6 <= row["eta_squared"] <= 1.0 + 1e-6
+    assert row["f_stat"] >= -1e-6
+    # eta2 and F agree in direction: F = (eta2/(k-1)) / ((1-eta2)/(n-k))
+    n, kk, e = row["n_days"], row["k_groups"], row["eta_squared"]
+    if 0.0 < e < 1.0:
+        f_from_eta = (e / (kk - 1)) / ((1.0 - e) / (n - kk))
+        assert abs(f_from_eta - row["f_stat"]) < 0.05 * max(
+            1.0, row["f_stat"]
+        )
+
+
+def test_cluster_stats_consistent_with_clusters(spark, sf_dir):
+    """The histogram must be EXACTLY the size distribution of
+    llm_dedup_clusters' assignments — same machinery, re-aggregated."""
+    from collections import Counter
+
+    assign = _rows(spark, sf_dir, "llm_dedup_clusters")
+    sizes = Counter(r["cluster_id"] for r in assign)
+    want = Counter(sizes.values())
+    hist = _rows(spark, sf_dir, "llm_dedup_cluster_stats")
+    got = {r["cluster_size"]: r["n_clusters"] for r in hist}
+    assert got == dict(want)
+    for r in hist:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["cluster_size"] >= 2  # singletons are not clusters

@@ -140,6 +140,7 @@ EXPECTED = {
     "q166_theil_sen": ("one fact agg to the month grain; pairs/median on the bounded grid", 1.3),
     "q167_dow_effect": ("one fact agg to the day grain; ANOVA on <=7 group rows", 1.3),
     "llm_dedup_cluster_stats": ("jaccard pairs + CC + bounded histogram, linear like llm_dedup_clusters", 1.3),
+    "b07_tws_running_totals": ("one stateful shuffle by user key, state linear in users", 1.3),
 }
 
 
