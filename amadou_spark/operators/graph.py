@@ -1058,7 +1058,11 @@ def _blocked_adjacency(sym: DataFrame, chunk: int) -> DataFrame:
 
 
 def _hash_not_sort(
-    side: DataFrame, sized: DataFrame, bytes_per_row: int, spark
+    side: DataFrame,
+    sized: DataFrame,
+    bytes_per_row: int,
+    spark,
+    rows: "F.Column | None" = None,
 ) -> DataFrame:
     """Join-side wrapper enforcing "hash, never sort" for a build side
     whose row count is CHEAP to measure (``sized`` must be materialized
@@ -1067,6 +1071,14 @@ def _hash_not_sort(
     unhinted, letting AQE pick broadcast; at or past it → shuffle_hash
     hint, so the borderline-stats regime can never fall into
     sort-merge (which would sort the big probe side).
+
+    ``rows``: aggregate Column over ``sized`` estimating ``side``'s row
+    count — REQUIRED when ``side`` is an expansion of ``sized`` rather
+    than a projection of it (r9, ADVICE: the adamic-adar build leg is
+    ``adj`` exploded (blk+1)× per row, so ``adj.count()`` undersized it
+    on hub-heavy graphs and the "clearly under threshold → unhinted"
+    branch could still let AQE fall into sort-merge). Defaults to
+    ``count(*)``.
     """
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -1085,7 +1097,8 @@ def _hash_not_sort(
         threshold = 10 << 20
     if threshold <= 0:  # broadcast disabled -> always hash
         return side.hint("shuffle_hash")
-    est = sized.count() * bytes_per_row
+    n = sized.agg((rows if rows is not None else F.count("*")).alias("n")).first()["n"]
+    est = int(n or 0) * bytes_per_row
     # generous 2x margin: when AQE *might* decline the broadcast, we
     # must already be hinted — half-in-half-out is the bimodal regime
     if est * 2 < threshold:
@@ -1165,7 +1178,11 @@ def adamic_adar(edges: DataFrame, chunk: int = 32) -> DataFrame:
     # block invariant), so it scales where a forced broadcast of a
     # corpus-dependent table would OOM.
     spark = edges.sparkSession
-    right_sized = _hash_not_sort(right, adj, 48, spark)
+    # size by the POST-explode cardinality Σ(blk+1), not adj.count():
+    # hubs replicate each adjacency row (blk+1)× into the build leg
+    right_sized = _hash_not_sort(
+        right, adj, 48, spark, rows=F.sum(F.col("blk") + F.lit(1))
+    )
     wedge = (
         left.join(
             right_sized,

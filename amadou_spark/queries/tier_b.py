@@ -690,6 +690,7 @@ def b06_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b07_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadou_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER_CONF,
         protobuf_available,
         running_totals_stream,
     )
@@ -702,7 +703,14 @@ def b07_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).withColumn(
         "value", F.floor(F.col("value") * 100 + 0.5).cast("double")
     )
-    out = run_stream_to_table(running_totals_stream(stream), mode="update")
+    # RocksDB is required at START (multi-column-family state) and a
+    # vanilla driver session defaults to the HDFS-backed provider; the
+    # conf is set/RESTORED around start so nothing leaks (r9).
+    out = run_stream_to_table(
+        running_totals_stream(stream),
+        mode="update",
+        confs=ROCKSDB_PROVIDER_CONF,
+    )
     return out.withColumnRenamed("total_value", "total_cents").orderBy(
         "user_id"
     )

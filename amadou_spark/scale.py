@@ -312,7 +312,19 @@ def ntile_domain_tables_local(
         .collect()
     )
     by_prefix: dict[str, list] = {p: [] for _, _, p in specs}
+    col_of = {p: c for c, _, p in specs}
     for r in melted:
+        if r["_v"] is None:
+            # r9 (ADVICE): fail loudly with the column name instead of
+            # the opaque None-vs-int TypeError sorted() would raise —
+            # NULL has no defined rank/bucket in either ntile builder
+            # (the cluster-side one silently drops it from every
+            # prefix-sum comparison), so refuse it explicitly.
+            raise ValueError(
+                "ntile_domain_tables_local: NULL in measure column "
+                f"{col_of[r['_m']]!r} — ntile domains must be NULL-free; "
+                "filter NULLs (or COALESCE them) before calling"
+            )
         by_prefix[r["_m"]].append((r["_v"], r["_c"]))
     out: dict[str, DataFrame] = {}
     for value_col, k, prefix in specs:

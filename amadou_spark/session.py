@@ -40,6 +40,19 @@ _DEFAULTS = {
     # local mode = driver-only: this is the whole memory budget. Sized
     # for the 128 GiB container; override with SPARK_GRAFT_DRIVER_MEM.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    # Engine-wide state-store posture (r9, VERDICT r8 #2): RocksDB for
+    # EVERY stateful streaming operator. At scale the HDFS-backed
+    # provider keeps all state as in-heap maps (state size bounded by
+    # executor heap); RocksDB spills to local disk and supports the
+    # multiple column families transformWithState requires. Choosing it
+    # here — once, deliberately — also means every bench sweep of every
+    # stateful query runs under the SAME store, instead of flipping
+    # mid-session as a side effect of whichever query ran first
+    # (the r8 streaming-bench drift source).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 

@@ -33,6 +33,17 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 
+# The conf a transformWithState query must see at START. get_spark
+# sessions carry it by default (session.py); vanilla-session callers
+# pass it to run_stream_to_table's confs= (set/restored around start).
+ROCKSDB_PROVIDER_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+}
+
+
 def protobuf_available() -> bool:
     """transformWithState needs google.protobuf for its state-server
     protocol; absent → the query crashes at init, so probe first.
@@ -79,18 +90,16 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     (user, micro-batch that touched it). Update output mode: downstream
     sinks see the LATEST running value per key.
 
-    Pins the session to the RocksDB state-store provider before the
-    query starts: transformWithState keeps each state variable in its
-    own column family, which the default HDFSBackedStateStoreProvider
-    rejects ([UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES]).
-    RocksDB is the production posture anyway and serves the legacy
-    applyInPandasWithState/dedup/upsert operators equally well; fresh
-    queries pick it up at start, running queries are unaffected."""
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    State-store REQUIREMENT (not set here — r9, ADVICE): this operator
+    needs the RocksDB provider at query START — transformWithState
+    keeps each state variable in its own column family, which the
+    default HDFSBackedStateStoreProvider rejects
+    ([UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES]).
+    ``session.get_spark`` sessions already run RocksDB engine-wide
+    (session.py _DEFAULTS); on a vanilla session, pass
+    ``confs=ROCKSDB_PROVIDER_CONF`` to ``run_stream_to_table`` (or
+    set/restore the conf around your own ``writeStream.start()``).
+    Building the DataFrame no longer mutates shared session conf."""
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

@@ -48,7 +48,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_table(
-    stream_df: DataFrame, mode: str = "complete", state_partitions: int = 8
+    stream_df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int = 8,
+    confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drive a (finite) streaming query to completion through a memory
     sink and return the result as a batch DataFrame. Test/verification
@@ -60,11 +63,20 @@ def run_stream_to_table(
     32-partition default, stateful queries here spent 2× longer on
     store bookkeeping than on data (measured 7.7s → 1.2s at sf0.1).
     Size it to expected STATE, not batch shuffle width; the conf is
-    saved/restored around start so the session default is untouched."""
+    saved/restored around start so the session default is untouched.
+
+    ``confs``: extra session confs the query must see at START (e.g.
+    ``stateful.ROCKSDB_PROVIDER_CONF`` for transformWithState on a
+    vanilla session) — applied and restored exactly like
+    shuffle.partitions, so nothing leaks into later queries (r9,
+    VERDICT r8 #2 / ADVICE)."""
     spark = stream_df.sparkSession
     name = f"amadou_stream_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    to_set = dict(confs or {})
+    to_set["spark.sql.shuffle.partitions"] = str(state_partitions)
+    saved = {k: spark.conf.get(k, None) for k in to_set}
+    for k, v in to_set.items():
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
@@ -73,7 +85,11 @@ def run_stream_to_table(
             .start()
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
     try:
         q.processAllAvailable()
     finally:

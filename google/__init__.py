@@ -13,20 +13,49 @@ bootstraps the same meta-path shim the sitecustomize arm installs:
 ``google.protobuf`` is aliased to the machine's Google Cloud SDK
 bundled pure-Python protobuf runtime (nothing vendored in the repo).
 
-A real protobuf install still wins: any OTHER ``google`` package
-directory on sys.path is appended to ``__path__`` first, so
-``google.protobuf`` resolves natively when one exists and the shim's
-native probe short-circuits.
+A real protobuf install still wins: every OTHER ``google`` package
+directory on sys.path is part of ``__path__``, so ``google.protobuf``
+resolves natively when one exists and the shim's native probe
+short-circuits. r9 (ADVICE): ``__path__`` is no longer a one-time
+snapshot — it RESCANS sys.path on every iteration (the dynamic
+analogue of ``pkgutil.extend_path``), so google.* distributions
+reachable only via sys.path entries added AFTER this package's first
+import still resolve.
 """
 
 import os as _os
 import sys as _sys
 
 _here = _os.path.dirname(_os.path.abspath(__file__))
-for _p in list(_sys.path):
-    _cand = _os.path.join(_p or ".", "google")
-    if _os.path.isdir(_cand) and _os.path.abspath(_cand) != _here:
-        __path__.append(_cand)
+
+
+class _SysPathTrackingPath(list):
+    """Package ``__path__`` that recomputes from sys.path on every
+    iteration (the import machinery iterates ``__path__`` on each
+    submodule lookup, so late sys.path additions are honored).
+    Manually-appended entries are preserved at the end."""
+
+    def _rescan(self) -> "list[str]":
+        seen = {_here}
+        fresh = [_here]
+        for _p in list(_sys.path):
+            cand = _os.path.abspath(_os.path.join(_p or ".", "google"))
+            if cand not in seen and _os.path.isdir(cand):
+                seen.add(cand)
+                fresh.append(cand)
+        for extra in list.__iter__(self):
+            if extra not in seen:
+                seen.add(extra)
+                fresh.append(extra)
+        self[:] = fresh
+        return fresh
+
+    def __iter__(self):
+        return list.__iter__(self._rescan())
+
+
+__path__ = _SysPathTrackingPath(__path__)
+__path__._rescan()
 
 try:
     _repo = _os.path.dirname(_here)

@@ -67,6 +67,28 @@ PINS: dict[str, tuple[list[str], dict[str, int]]] = {
         ["CartesianProduct", "Exchange SinglePartition"],
         {},
     ),
+    "q97_bfs_levels": (
+        ["SortMergeJoin", "CartesianProduct", "Exchange SinglePartition"],
+        {},
+    ),
+    # wedge self-join after r8/r9 hash-never-sort gating: broadcast or
+    # shuffle_hash, never sort-merge; the scalar triangle total's final
+    # 1-row aggregate is an allowlisted bounded SinglePartition
+    "q99_link_prediction": (
+        ["SortMergeJoin", "CartesianProduct"],
+        {"TakeOrderedAndProject": 1},
+    ),
+    # degree-oriented wedge join; the BNLJ legs are broadcast bounded
+    # aggregates and the global count is a 1-row agg — only a true
+    # cartesian would be a regression
+    "q96_triangle_count": (
+        ["CartesianProduct"],
+        {},
+    ),
+    "llm_dedup_keep_best": (
+        ["CartesianProduct", "Exchange SinglePartition"],
+        {},
+    ),
     # bounded-grain SinglePartition (end-only normalization aggregates)
     # is allowlisted by sp_audit, so only cartesians are pinned here
     "q159_hits": (

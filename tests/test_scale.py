@@ -419,3 +419,18 @@ def test_ntile_domain_tables_local_one_melt_many_measures(spark):
             map(tuple, ntile_domain_table_local(df, col, k, p).collect())
         )
         assert sorted(map(tuple, tabs[p].collect())) == single
+
+
+def test_ntile_domain_tables_local_rejects_nulls_by_name(spark):
+    """r9 (ADVICE): a NULL in the measure column must raise a
+    ValueError NAMING the column, not the opaque None-vs-int
+    TypeError sorted() used to throw."""
+    import pytest
+
+    from amadou_spark.scale import ntile_domain_tables_local
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id int, a long"
+    )
+    with pytest.raises(ValueError, match="'a'"):
+        ntile_domain_tables_local(df, [("a", 4, "a")])

@@ -323,3 +323,52 @@ def test_kafka_read_path_decodes_and_windows(spark, sf_dir, tmp_path):
     assert _sorted_rows(stream_out, "wstart", "event_type") == _sorted_rows(
         batch_out, "wstart", "event_type"
     )
+
+
+def test_run_stream_to_table_restores_extra_confs(spark, sf_dir):
+    """r9 (VERDICT r8 #2): confs passed for query START must be
+    set/RESTORED around start — no stateful operator may leak session
+    conf into later queries (the r8 RocksDB provider flip)."""
+    from amadou_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_table,
+        tumbling_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key)
+    sentinel = {
+        key: (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    }
+    out = run_stream_to_table(
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        mode="complete",
+        confs=sentinel,
+    )
+    assert out.count() > 0
+    assert spark.conf.get(key) == before
+
+
+def test_repo_google_path_tracks_late_syspath_additions(tmp_path):
+    """r9 (ADVICE): the repo-root google package's __path__ rescans
+    sys.path on iteration, so google.* distributions reachable only
+    via sys.path entries added AFTER first import still resolve."""
+    import importlib
+    import sys
+
+    import google  # the repo-root bootstrap package
+
+    pkg = tmp_path / "google" / "late_probe_pkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("MARKER = 'late'\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        importlib.invalidate_caches()
+        mod = importlib.import_module("google.late_probe_pkg")
+        assert mod.MARKER == "late"
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("google.late_probe_pkg", None)

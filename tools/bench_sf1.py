@@ -121,9 +121,19 @@ def main() -> None:
     path = os.path.join(REPO, "BENCH_SF1.json")
     if args.queries and os.path.exists(path):
         with open(path) as fh:
-            prior = json.load(fh).get("queries", {})
+            prior_doc = json.load(fh)
+        prior = prior_doc.get("queries", {})
         prior.update(queries)
         queries = prior
+        # r9 (ADVICE): merge prior errors the same way prior rows are
+        # merged — a subset re-run must not silently drop error records
+        # from queries it didn't touch. This run's outcome wins for the
+        # queries it DID run (a now-passing query clears its old error).
+        prior_errs = prior_doc.get("errors", {})
+        for n in names:
+            prior_errs.pop(n, None)
+        prior_errs.update(errs)
+        errs = prior_errs
     flagged = sorted(
         n for n, v in queries.items() if v["ratio"] > args.gate
     )

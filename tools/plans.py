@@ -59,7 +59,7 @@ REVIEW = {
     "q96_triangle_count": "degree-oriented wedge join: orientation caps out-degree at O(sqrt(m)) so no hub hotspot; oriented list checkpointed once for its three consumers",
     "q97_bfs_levels": "per-round frontier-edge equi-join + visited anti-join: cost O(frontier edges), never O(paths); early exit on drained frontier",
     "q98_kcore": "per-round endpoint-explode degree agg + two semi-joins; edge list only shrinks so round cost is monotone decreasing",
-    "q99_link_prediction": "hub-salted wedge join: adjacency hash-blocked into ceil(d/32) chunks, block pairs equi-join on (center, blk_i, blk_j) so no key exceeds ~chunk rows/side; anti-join removes existing edges; top-20 via TakeOrdered",
+    "q99_link_prediction": "hub-salted wedge join: adjacency hash-blocked into ceil(d/32) chunks, block pairs equi-join on (center, blk_i, blk_j) so no key exceeds ~chunk rows/side; joins are size-gated hash-never-sort (r8; r9 sizes the build leg by its POST-explode cardinality sum(blk+1)) so AQE can never flip them to sort-merge; anti-join removes existing edges; top-20 via TakeOrdered",
     "q100_trend_fit": "per-group OLS: two stacked hash aggs (month rollup -> BIGINT moment sums), map-side combine both; single division at the end — no float accumulation",
     "llm_token_pmi": "two count tables off one explode; unigram join-back unhinted (broadcast while vocab small); top-30 on rounded score via TakeOrdered",
     "llm_dedup_substrings": "window hashing is a no-shuffle JVM projection; dup set from one map-side-combined agg; only (doc_id,pos,hash) ever shuffles — text stays out of every exchange",
@@ -154,6 +154,10 @@ REVIEW = {
     "q165_survival_rmst": "q131 shape: per-user collapse checkpointed, area terms = exact BIGINT s*gap products on the bounded duration grid (allowlisted SP windows), one division at output",
     "llm_quality_calibration": "classifier shape: literal 64-weight model in per-row codegen, ONE explode + per-doc agg, then a 10-bin map-side-combined collapse; squared errors in exact integer e8 units",
     "llm_hard_negatives": "llm_similarity_topk shape: 20 anchors broadcast vs one corpus scan (brute-force anchor guard), negative rank window on pre-filtered candidates, 20-row positive table joined back broadcast",
+    # r9 (VERDICT r8 #5): the bound note for the only by-construction
+    # BroadcastNestedLoopJoin in the registry's hot set
+    "q166_theil_sen": "monthly collapse first (calendar-bounded grain); the pairwise m < m2 slope join is a BroadcastNestedLoopJoin BY CONSTRUCTION (theta join on the broadcast month grid) — bounded at |months|^2/2 pairs, QUADRATIC in the CALENDAR SPAN, not constant and not data-size-dependent: the 7-month testdata grid is 21 pairs, a 50-year corpus is 600 months ≈ 180k pairs (still trivial driver-side arithmetic); slopes are exact-integer fixed-point so hashes stay engine-stable",
+    "q167_dow_effect": "one map-side-combined hash agg to 7 day-of-week moment rows; F and effect size are closed-form arithmetic on the bounded remnant",
 }
 
 
@@ -274,7 +278,8 @@ SP_ALLOWLIST: dict[str, str] = {
     # r7 second batch: same duration grid as q131/q151
     "q165_survival_rmst": "per-distinct-duration grid (q131 shape)",
     # r8: pairwise-slope grid over the calendar month domain —
-    # <= |months|^2/2 distinct slope values at any sf (~3.5k rows)
+    # <= |months|^2/2 distinct slope values at any sf (~3.5k rows);
+    # the full bound note lives in its REVIEW/PLANS.md entry (r9)
     "q166_theil_sen": "month-pair slope grid (calendar^2-bounded)",
 }
 
@@ -389,9 +394,18 @@ def main() -> None:
     ]
     for name, commentary in REVIEW.items():
         df = REGISTRY[name].fn(spark, sf)
-        # force AQE final plan
-        df.count()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        # r9: collect() on THIS df (not .count(), which wraps a new
+        # plan and leaves df's own queryExecution un-finalized — the
+        # pre-AQE template showed phantom SortMergeJoins here), then
+        # truncate at the "Initial Plan" section so the facts describe
+        # the FINAL AQE plan, same methodology as tests/test_plan_pins
+        df.collect()
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("Initial Plan")[0]
+        )
         lines.append(f"## {name}")
         lines.append("")
         lines.append(f"**Design intent:** {commentary}")
