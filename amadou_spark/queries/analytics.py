@@ -5065,3 +5065,172 @@ def q167_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@query(
+    "q168_range_join_bucketed",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type, epoch_us(ts) AS t
+            FROM events WHERE ts IS NOT NULL
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(b.t - a.t) AS BIGINT) AS sum_gap_us
+        FROM e a JOIN e b
+          -- two BARE range predicates so DuckDB plans an IEJoin (the
+          -- single-sided "b.t - a.t <= w AND (OR...)" form degraded to
+          -- a nested-loop join: intractable at the 1M-row sf1 slice);
+          -- the tie-break is a residual WHERE, not a join condition
+          ON b.t >= a.t AND b.t <= a.t + 60000000
+        WHERE (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="range (interval-overlap) JOIN with NO equi-key — the "
+    "operator family the as-of join (q31) and windowed stream-stream "
+    "join (b09) don't cover: every ordered pair of events, across ALL "
+    "users, at most 60 s apart (coincidence/correlation detection), "
+    "rolled up per (type_a, type_b). Scale shape: the theta join is "
+    "rewritten as a BUCKETIZED equi-join — each event hashes to its "
+    "60 s epoch bucket, the earlier leg fans out to {bkt, bkt+1} "
+    "(2x replication, independent of data size), the join key is the "
+    "bucket, and the exact range+order predicate refines after the "
+    "match. A qualifying pair's later event lives in exactly one of "
+    "the earlier event's two buckets, so no dedup pass is needed. "
+    "Per-key width = events per minute — a rate-bounded, "
+    "data-size-independent bound (burst minutes are AQE skew-join "
+    "territory, same posture as the wedge joins). The naive plan is a "
+    "cartesian product; the oracle's IEJoin and this bucketed plan "
+    "agree exactly. Engine stability: all arithmetic on exact "
+    "BIGINT epoch microseconds",
+    tags=("join", "timeseries"),
+)
+def q168_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    width_us = 60_000_000
+    e = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "event_type", F.unix_micros("ts").alias("t"))
+    )
+    bkt = F.floor(F.col("t") / F.lit(width_us))
+    # hash-repartition the probe leg by the bucket key: pair GENERATION
+    # is the quadratic-in-rate hot loop, and partitioning it by bkt
+    # balances that work across the cluster regardless of input file
+    # layout (one linear shuffle of the fact buys it — measured 2.2x
+    # faster than scan-layout parallelism even locally at the sf1
+    # slice). The build leg stays unshuffled: AQE broadcasts it while
+    # small and co-shuffles on the same key when it isn't.
+    later = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("t").alias("t_b"),
+        bkt.alias("bkt"),
+    ).repartition(F.col("bkt"))
+    earlier = e.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("t").alias("t_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    pairs = earlier.join(later, "bkt").filter(
+        (F.col("t_b") - F.col("t_a") <= width_us)
+        & (
+            (F.col("t_b") > F.col("t_a"))
+            | (
+                (F.col("t_b") == F.col("t_a"))
+                & (F.col("id_b") > F.col("id_a"))
+            )
+        )
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("t_b") - F.col("t_a")).cast("bigint").alias("sum_gap_us"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q169_bitmap_distinct_rollup",
+    oracle="""
+        WITH wk AS (
+            SELECT event_type,
+                   CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS week,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events GROUP BY 1, 2
+        ), daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   COUNT(DISTINCT user_id) AS nd
+            FROM events GROUP BY 1, 2
+        ), sd AS (
+            SELECT event_type,
+                   CAST(weekofyear(day) AS BIGINT) AS week,
+                   CAST(SUM(nd) AS BIGINT) AS sum_daily_distinct
+            FROM daily GROUP BY 1, 2
+        )
+        SELECT wk.event_type, wk.week, sd.sum_daily_distinct,
+               wk.distinct_users
+        FROM wk JOIN sd ON wk.event_type = sd.event_type
+                       AND wk.week = sd.week
+        ORDER BY 1, 2
+    """,
+    description="EXACT re-aggregatable distinct counts via RoaringBitmap"
+    "-style bitmap aggregates (Spark 3.5+ bitmap_construct_agg / "
+    "bitmap_or_agg / bitmap_count) — the hypertable-rollup pattern: "
+    "distinct users materialize ONCE at the (event_type, day, "
+    "id-bucket) grain as bitmaps, and every coarser grain (here "
+    "weekly) derives by OR-merging the daily bitmaps WITHOUT "
+    "rescanning the fact table — the exact alternative to "
+    "approx_count_distinct when dedup metrics must reconcile. Scale "
+    "shape: one fact-grain shuffle builds the daily bitmap table "
+    "(rows = types x days x ceil(|users|/32768) buckets — the 32768-"
+    "bit bucket keeps any single bitmap cell small and the merge "
+    "shuffle-friendly); the weekly rollup and both counts live "
+    "entirely on that bounded table. sum_daily_distinct (additive) "
+    "and distinct_users (OR-merged) from the SAME bitmaps "
+    "demonstrates re-aggregation: the former double-counts returning "
+    "users, the latter does not. Engine stability: bitmap counts are "
+    "exact integers",
+    tags=("agg", "distinct"),
+)
+def q169_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+        )
+        .groupBy(
+            "event_type",
+            "day",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+    )
+    weekly = (
+        daily.groupBy(
+            "event_type", F.weekofyear("day").alias("wk"), "bkt"
+        )
+        .agg(
+            F.expr("bitmap_or_agg(bm)").alias("wbm"),
+            F.expr("sum(bitmap_count(bm))").alias("sd"),
+        )
+        .groupBy("event_type", F.col("wk").cast("bigint").alias("week"))
+        .agg(
+            F.sum("sd").cast("bigint").alias("sum_daily_distinct"),
+            F.expr("sum(bitmap_count(wbm))").cast("bigint").alias(
+                "distinct_users"
+            ),
+        )
+    )
+    return weekly.select(
+        "event_type", "week", "sum_daily_distinct", "distinct_users"
+    ).orderBy("event_type", "week")

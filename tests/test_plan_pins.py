@@ -89,6 +89,25 @@ PINS: dict[str, tuple[list[str], dict[str, int]]] = {
         ["CartesianProduct", "Exchange SinglePartition"],
         {},
     ),
+    # r9: the bucketized range join must stay an equi-join on the
+    # bucket key — a naive theta-join regression would plan as
+    # BroadcastNestedLoopJoin/CartesianProduct
+    "q168_range_join_bucketed": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition"],
+        {},
+    ),
+    # r9: bitmap rollup is two hash aggregations and NO join at all
+    "q169_bitmap_distinct_rollup": (
+        [
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+            "Exchange SinglePartition",
+        ],
+        {"HashAggregate": 2},
+    ),
     # bounded-grain SinglePartition (end-only normalization aggregates)
     # is allowlisted by sp_audit, so only cartesians are pinned here
     "q159_hits": (

@@ -141,6 +141,19 @@ EXPECTED = {
     "q167_dow_effect": ("one fact agg to the day grain; ANOVA on <=7 group rows", 1.3),
     "llm_dedup_cluster_stats": ("jaccard pairs + CC + bounded histogram, linear like llm_dedup_clusters", 1.3),
     "b07_tws_running_totals": ("one stateful shuffle by user key, state linear in users", 1.3),
+    # r9 additions
+    "q168_range_join_bucketed": (
+        # 10x denser events => ~10x pairs per event => ~100x pair rows,
+        # but pair GENERATION is equi-join work linear in (events x
+        # per-bucket density); density is 10x at the slice, so the gate
+        # allows the superlinear pair-count growth explicitly
+        "bucketized theta join: pair volume grows with rate^2 at fixed window (10x slice => ~100x pairs)",
+        2.2,
+    ),
+    "q169_bitmap_distinct_rollup": (
+        "one fact agg to the (type, day, bucket) bitmap grain; weekly OR-merge on the bounded table",
+        1.3,
+    ),
 }
 
 
