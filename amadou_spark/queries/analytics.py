@@ -5087,17 +5087,22 @@ def q167_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
-    description="range (interval-overlap) JOIN with NO equi-key — the "
-    "operator family the as-of join (q31) and windowed stream-stream "
-    "join (b09) don't cover: every ordered pair of events, across ALL "
-    "users, at most 60 s apart (coincidence/correlation detection), "
-    "rolled up per (type_a, type_b). Scale shape: the theta join is "
-    "rewritten as a BUCKETIZED equi-join — each event hashes to its "
-    "60 s epoch bucket, the earlier leg fans out to {bkt, bkt+1} "
-    "(2x replication, independent of data size), the join key is the "
-    "bucket, and the exact range+order predicate refines after the "
-    "match. A qualifying pair's later event lives in exactly one of "
-    "the earlier event's two buckets, so no dedup pass is needed. "
+    description="symmetric range SELF-join with NO equi-key: every "
+    "ordered pair of events, across ALL users, at most 60 s apart "
+    "(coincidence/correlation detection), rolled up per (type_a, "
+    "type_b). Completes the range-join family: q31 is as-of (nearest "
+    "one match), q67/operators/rangejoin.py is point-in-interval "
+    "(asymmetric: one side carries intervals), b09 is the keyed "
+    "stream-stream window join — this is the keyless BOTH-SIDES-FACT "
+    "proximity join, where naive execution is a cartesian product of "
+    "the fact with itself. Same bucketization scheme as rangejoin.py: "
+    "each event hashes to its 60 s epoch bucket, the earlier leg fans "
+    "out to {bkt, bkt+1} (fixed 2x replication — the window equals "
+    "the bucket width, vs sequence-explode for variable intervals), "
+    "the join key is the bucket, and the exact range+order predicate "
+    "refines after the match. A qualifying pair's later event lives "
+    "in exactly one of the earlier event's two buckets, so no dedup "
+    "pass is needed. "
     "Per-key width = events per minute — a rate-bounded, "
     "data-size-independent bound (burst minutes are AQE skew-join "
     "territory, same posture as the wedge joins). The naive plan is a "
