@@ -95,7 +95,8 @@ def q94_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(l_extendedprice), 2) AS total
+               ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                              AS BIGINT)) / 100.0, 2) AS total
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     description="two-phase salted aggregation (scale.py "
@@ -103,23 +104,33 @@ def q94_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spreads across partitions, then re-aggregate the partials — only "
     "valid for decomposable aggregates (sum-of-sums, sum-of-counts), "
     "which the helper's signature enforces. Must equal the plain "
-    "one-phase aggregate the oracle expresses",
+    "one-phase aggregate the oracle expresses. Engine stability (r9 — "
+    "the first sf1-slice oracle run caught the raw double sum "
+    "diverging from DuckDB at the cent under 10x data): prices are "
+    "pre-mapped to exact integer CENTS (q133 floor-half-up pin), so "
+    "the salted two-stage sum is exact-integer arithmetic and "
+    "association order cannot matter — which is the point the "
+    "operator demonstrates",
 )
 def q95_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
+    li = t["lineitem"].withColumn(
+        "_cents",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"),
+    )
     out = salted_aggregate(
-        t["lineitem"],
+        li,
         keys=["l_returnflag"],
         aggs=[
             ("l_linenumber", F.count, F.sum, "n"),
-            ("l_extendedprice", F.sum, F.sum, "total"),
+            ("_cents", F.sum, F.sum, "total_cents"),
         ],
         n_salts=8,
     )
     return out.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
-        F.round("total", 2).alias("total"),
+        F.round(F.col("total_cents") / 100.0, 2).alias("total"),
     ).orderBy("l_returnflag")
 
 
