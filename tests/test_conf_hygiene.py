@@ -1,0 +1,65 @@
+"""Session-conf hygiene over the streaming family (r9, VERDICT r8 #2).
+
+The r8 bench regression class: an operator that mutates shared session
+conf as a side effect (running_totals_stream used to flip the
+state-store provider permanently) silently changes the environment
+every LATER query runs under. This test executes every streaming-family
+registry entry end-to-end and asserts the session's SQL conf is
+byte-identical before and after — any new leak in this family turns
+into a red test naming the key, not a bench-drift mystery two rounds
+later.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from amadou_spark.queries import REGISTRY, _load
+
+STREAMING = [
+    "b06_sliding_batch",
+    "b06_stream_daily_rollup",
+    "b06_tumbling_stream",
+    "b07_session_windows",
+    "b07_stateful_counts",
+    "b07_stream_dedup",
+    "b07_stream_upsert",
+    "b07_tws_running_totals",
+    "b08_stream_static_join",
+    "b09_stream_stream_join",
+]
+
+
+def _sql_conf_snapshot(spark) -> dict:
+    jconf = spark.conf
+    # runtime-settable keys the engine/queries are allowed to touch
+    # transiently; they must still be RESTORED by the time the query
+    # function returns, so no key is excluded from the compare.
+    # spark.sql.legacy.parquet.nanosAsLong is deliberately NOT listed:
+    # catalog.load_table / read_events_stream set it one-way as a
+    # documented engine-level reader conf (it only widens what parquet
+    # footers the session can read), so it is not a leak.
+    keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.streaming.schemaInference",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    return {k: jconf.get(k, None) for k in keys}
+
+
+@pytest.mark.parametrize("name", STREAMING)
+def test_streaming_query_leaves_session_conf_untouched(spark, sf_dir, name):
+    _load()
+    if name == "b07_tws_running_totals":
+        from amadou_spark.streaming.stateful import protobuf_available
+
+        if not protobuf_available():  # pragma: no cover - other images
+            pytest.skip("transformWithState needs google.protobuf")
+    before = _sql_conf_snapshot(spark)
+    REGISTRY[name].fn(spark, sf_dir).count()
+    after = _sql_conf_snapshot(spark)
+    diff = {k: (before[k], after[k]) for k in before if before[k] != after[k]}
+    assert not diff, f"{name} leaked session conf: {diff}"
