@@ -639,6 +639,63 @@ def b09_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b09_stream_stream_left_outer",
+    oracle="""
+        WITH wm AS (
+            SELECT date_trunc('milliseconds',
+                     LEAST((SELECT MAX(ts) FROM events
+                            WHERE event_type = 'click'),
+                           (SELECT MAX(ts) FROM events
+                            WHERE event_type = 'view')))
+                   - INTERVAL 1 HOUR AS w
+        )
+        SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id
+        FROM events a
+        LEFT JOIN events b
+          ON b.event_type = 'view'
+         AND a.user_id = b.user_id
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_type = 'click'
+          AND (b.event_id IS NOT NULL
+               OR a.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+        ORDER BY a.user_id, left_id, right_id
+    """,
+    description="stream-stream LEFT OUTER join with watermark holdback "
+    "— the marquee outer-join semantics of Structured Streaming, "
+    "registered with an oracle that encodes them EXACTLY rather than "
+    "approximating with a batch left join: an unmatched click emits "
+    "its NULL-matched row only when the query watermark passes "
+    "click.ts + 30min, and the query watermark is the MIN over both "
+    "sides' watermark operators (per-side max event time seen, "
+    "millisecond precision, minus the 1h delay). On a finite replay "
+    "the unmatched tail newer than min(max_click_ts, max_view_ts) - "
+    "1h - 30min therefore stays in state, never emitted — the oracle's "
+    "WHERE reproduces that holdback with the LEAST(...)-derived "
+    "watermark, so the hash compare pins the real streaming semantics "
+    "(verified row-for-row against the stream at sf0.001 and sf0.01 "
+    "before registration; the boundary row that distinguishes the "
+    "min-of-both-sides rule from a global-max rule exists in the "
+    "data). State posture at scale: same O(horizon) bound as the "
+    "inner variant — outer rows add no state, only an emit-on-evict",
+)
+def b09_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from amadou_spark.streaming.windows import stream_stream_join
+
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    joined = stream_stream_join(
+        clicks, views, within="30 minutes", how="leftOuter"
+    )
+    return run_stream_to_table(joined, mode="append").orderBy(
+        "user_id", "left_id", "right_id"
+    )
+
+
+@query(
     "b06_stream_daily_rollup",
     oracle="""
         SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,

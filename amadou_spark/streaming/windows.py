@@ -163,9 +163,10 @@ def stream_stream_join(
     right: DataFrame,
     within: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join with an event-time range bound:
-    pair each left row with right rows of the same user arriving in
+    """Stream-stream equi-join with an event-time range bound: pair
+    each left row with right rows of the same user arriving in
     [left.ts, left.ts + within].
 
     Both sides carry watermarks and the join condition bounds event
@@ -173,7 +174,18 @@ def stream_stream_join(
     buffered left row is dropped once the right watermark passes
     left.ts + within (state ~ O(rows inside the horizon), independent
     of stream length). Works identically on batch inputs (the oracle
-    path) — the condition is the same range predicate."""
+    path) — the condition is the same range predicate.
+
+    ``how="leftOuter"`` (r9) additionally emits each unmatched left
+    row with a NULL right_id — but only once its join window can no
+    longer match, i.e. when the query watermark passes
+    left.ts + within. The query watermark is the MIN over BOTH
+    watermark operators (max event time seen per side − delay,
+    millisecond precision), so on a finite replay the unmatched tail
+    newer than min(max_left_ts, max_right_ts) − delay − within is
+    HELD BACK in state forever — the documented, deterministic
+    difference from a batch left join (the registry oracle encodes
+    exactly this holdback)."""
     a, b = left.alias("a"), right.alias("b")
     if left.isStreaming:
         a = left.withWatermark("ts", watermark).alias("a")
@@ -183,7 +195,7 @@ def stream_stream_join(
         & (F.col("b.ts") >= F.col("a.ts"))
         & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {within}"))
     )
-    return a.join(b, cond, "inner").select(
+    return a.join(b, cond, how).select(
         F.col("a.user_id").alias("user_id"),
         F.col("a.event_id").alias("left_id"),
         F.col("b.event_id").alias("right_id"),

@@ -27,6 +27,7 @@ STREAMING = [
     "b07_tws_running_totals",
     "b08_stream_static_join",
     "b09_stream_stream_join",
+    "b09_stream_stream_left_outer",
 ]
 
 

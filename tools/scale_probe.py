@@ -154,6 +154,10 @@ EXPECTED = {
         "one fact agg to the (type, day, bucket) bitmap grain; weekly OR-merge on the bounded table",
         1.3,
     ),
+    "b09_stream_stream_left_outer": (
+        "same O(horizon) join state as the inner variant; outer emit-on-evict adds no state",
+        1.3,
+    ),
 }
 
 
