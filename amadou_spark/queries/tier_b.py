@@ -639,6 +639,74 @@ def b09_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b09_stream_stream_full_outer",
+    oracle="""
+        WITH wm AS (
+            SELECT date_trunc('milliseconds',
+                     LEAST((SELECT MAX(ts) FROM events
+                            WHERE event_type = 'click'),
+                           (SELECT MAX(ts) FROM events
+                            WHERE event_type = 'view')))
+                   - INTERVAL 1 HOUR AS w
+        )
+        SELECT a.user_id AS left_user, b.user_id AS right_user,
+               a.event_id AS left_id, b.event_id AS right_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'view') b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE (a.event_id IS NOT NULL AND b.event_id IS NOT NULL)
+           OR (b.event_id IS NULL
+               AND a.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+           OR (a.event_id IS NULL AND b.ts < (SELECT w FROM wm))
+        ORDER BY 1, 2, 3, 4
+    """,
+    description="stream-stream FULL OUTER join — completes the "
+    "streaming join-mode matrix (b09 inner, left outer, full outer) "
+    "with a TWO-SIDED watermark-holdback oracle: unmatched clicks emit "
+    "when the query watermark passes click.ts + 30min (the upper end "
+    "of their match window), unmatched views when it passes view.ts "
+    "(a view matches clicks in [view.ts - 30min, view.ts], so its "
+    "window closes at its own timestamp) — both against the "
+    "min-of-both-sides watermark at millisecond precision. The "
+    "asymmetry of the two eviction bounds falls directly out of the "
+    "one-sided range condition and is pinned row-for-row by the hash "
+    "compare (verified against the stream at sf0.001 and sf0.01 "
+    "before registration). State posture: identical O(horizon) bound "
+    "— outer emission is evict-time behavior, not extra state",
+)
+def b09_stream_stream_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("a")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .alias("b")
+    )
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTE"))
+    )
+    j = clicks.join(views, cond, "fullOuter").select(
+        F.col("a.user_id").alias("left_user"),
+        F.col("b.user_id").alias("right_user"),
+        F.col("a.event_id").alias("left_id"),
+        F.col("b.event_id").alias("right_id"),
+    )
+    return run_stream_to_table(j, mode="append").orderBy(
+        "left_user", "right_user", "left_id", "right_id"
+    )
+
+
+@query(
     "b09_stream_stream_left_outer",
     oracle="""
         WITH wm AS (

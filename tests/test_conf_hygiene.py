@@ -28,6 +28,7 @@ STREAMING = [
     "b08_stream_static_join",
     "b09_stream_stream_join",
     "b09_stream_stream_left_outer",
+    "b09_stream_stream_full_outer",
 ]
 
 

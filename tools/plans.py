@@ -158,6 +158,11 @@ REVIEW = {
     # BroadcastNestedLoopJoin in the registry's hot set
     "q166_theil_sen": "monthly collapse first (calendar-bounded grain); the pairwise m < m2 slope join is a BroadcastNestedLoopJoin BY CONSTRUCTION (theta join on the broadcast month grid) — bounded at |months|^2/2 pairs, QUADRATIC in the CALENDAR SPAN, not constant and not data-size-dependent: the 7-month testdata grid is 21 pairs, a 50-year corpus is 600 months ≈ 180k pairs (still trivial driver-side arithmetic); slopes are exact-integer fixed-point so hashes stay engine-stable",
     "q167_dow_effect": "one map-side-combined hash agg to 7 day-of-week moment rows; F and effect size are closed-form arithmetic on the bounded remnant",
+    # r9 registrations
+    "q168_range_join_bucketed": "keyless proximity theta join rewritten as a bucket equi-join: earlier leg fans out to {bkt, bkt+1} (fixed 2x), probe leg hash-repartitioned by bucket so quadratic match work parallelizes independent of file layout; exact range+order predicate refines post-match; pinned cartesian/BNLJ-free",
+    "q169_bitmap_distinct_rollup": "exact re-aggregatable distinct: one fact agg to (type, day, id-bucket) bitmaps, weekly distincts OR-merge the daily bitmaps with zero fact rescans; two hash aggs, no join (suite-pinned)",
+    "b09_stream_stream_left_outer": "stream-stream left outer with watermark holdback: O(horizon) join state (same as inner), outer rows are emit-on-evict; oracle encodes the min-of-both-sides watermark rule exactly",
+    "b09_stream_stream_full_outer": "stream-stream full outer: two-sided holdback (left evicts at a.ts+30min < wm, right at b.ts < wm — the asymmetry falls out of the one-sided range condition); same O(horizon) state",
 }
 
 

@@ -158,6 +158,10 @@ EXPECTED = {
         "same O(horizon) join state as the inner variant; outer emit-on-evict adds no state",
         1.3,
     ),
+    "b09_stream_stream_full_outer": (
+        "same O(horizon) join state; two-sided outer emission is evict-time behavior",
+        1.3,
+    ),
 }
 
 
