@@ -639,6 +639,88 @@ def b09_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b09_chained_join_window",
+    oracle="""
+        WITH wm AS (
+            SELECT date_trunc('milliseconds',
+                     LEAST((SELECT MAX(ts) FROM events
+                            WHERE event_type = 'click'),
+                           (SELECT MAX(ts) FROM events
+                            WHERE event_type = 'view')))
+                   - INTERVAL 1 HOUR AS w
+        ), pairs AS (
+            SELECT a.ts AS ts,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            WHERE a.event_type = 'click' AND b.event_type = 'view'
+        )
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        FROM pairs
+        GROUP BY 1
+        HAVING CAST(date_trunc('day', ts) AS DATE) + INTERVAL 1 DAY
+               <= (SELECT w FROM wm)
+        ORDER BY 1
+    """,
+    description="CHAINED stateful operators in ONE streaming query — "
+    "the Spark 3.5+/4.x multiple-stateful-operator capability: a "
+    "stream-stream range join feeding a tumbling 1-day window "
+    "aggregate, both stateful, one micro-batch pipeline (no "
+    "intermediate sink). Emission composes BOTH holdbacks: the join "
+    "emits matched pairs in-batch (append), and the downstream window "
+    "finalizes only when the propagated watermark passes the window "
+    "END — so the oracle is the batch join + daily rollup HAVING "
+    "day + 1 day <= the min-of-both-sides watermark (the final day's "
+    "window is withheld in state on a finite replay; verified "
+    "row-for-row at sf0.001 and sf0.01). Engine stability: the summed "
+    "gap is exact BIGINT microseconds. At scale this is the shape "
+    "that replaces a two-job join-then-rollup pipeline with one "
+    "always-on query: join state O(horizon), window state O(open "
+    "windows x groups), both watermark-bounded",
+)
+def b09_chained_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("a")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .alias("b")
+    )
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTE"))
+    )
+    pairs = clicks.join(views, cond, "inner").select(
+        F.col("a.ts").alias("ts"),
+        (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias(
+            "gap_us"
+        ),
+    )
+    agg = (
+        pairs.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "n_pairs",
+            "sum_gap_us",
+        )
+    )
+    return run_stream_to_table(agg, mode="append").orderBy("day")
+
+
+@query(
     "b09_stream_stream_full_outer",
     oracle="""
         WITH wm AS (

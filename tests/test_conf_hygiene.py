@@ -29,6 +29,7 @@ STREAMING = [
     "b09_stream_stream_join",
     "b09_stream_stream_left_outer",
     "b09_stream_stream_full_outer",
+    "b09_chained_join_window",
 ]
 
 

@@ -163,6 +163,7 @@ REVIEW = {
     "q169_bitmap_distinct_rollup": "exact re-aggregatable distinct: one fact agg to (type, day, id-bucket) bitmaps, weekly distincts OR-merge the daily bitmaps with zero fact rescans; two hash aggs, no join (suite-pinned)",
     "b09_stream_stream_left_outer": "stream-stream left outer with watermark holdback: O(horizon) join state (same as inner), outer rows are emit-on-evict; oracle encodes the min-of-both-sides watermark rule exactly",
     "b09_stream_stream_full_outer": "stream-stream full outer: two-sided holdback (left evicts at a.ts+30min < wm, right at b.ts < wm — the asymmetry falls out of the one-sided range condition); same O(horizon) state",
+    "b09_chained_join_window": "two stateful operators in one micro-batch pipeline: range join (O(horizon) state) feeding a tumbling day window (O(open windows) state); oracle composes both holdbacks",
 }
 
 

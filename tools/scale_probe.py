@@ -162,6 +162,10 @@ EXPECTED = {
         "same O(horizon) join state; two-sided outer emission is evict-time behavior",
         1.3,
     ),
+    "b09_chained_join_window": (
+        "join state O(horizon) + window state O(open windows); both watermark-bounded",
+        1.3,
+    ),
 }
 
 
