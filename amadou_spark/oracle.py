@@ -167,15 +167,52 @@ def check_query(
     return CheckResult(name, False, detail, len(s_rows), len(o_rows))
 
 
+# Keys a query function may set ONE-WAY as a documented engine-level
+# behavior (not a leak). nanosAsLong: catalog.load_table /
+# read_events_stream widen what parquet footers the session can read —
+# deliberately sticky, see tests/test_conf_hygiene.py.
+CONF_ONE_WAY = {"spark.sql.legacy.parquet.nanosAsLong"}
+
+
+def conf_snapshot(spark: SparkSession) -> dict:
+    """Full snapshot of every EXPLICITLY-SET SQL conf key (``SET``
+    lists session-set + spark-defaults keys), minus the documented
+    one-way keys. Any key a query sets and fails to restore shows up
+    in a before/after diff — no allowlist of 'keys we thought of'."""
+    rows = spark.sql("SET").collect()
+    return {r.key: r.value for r in rows if r.key not in CONF_ONE_WAY}
+
+
 def check_all(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> list[CheckResult]:
+    """Oracle-compare the named queries; additionally assert (r10,
+    VERDICT r9 #5) that NO query leaks session SQL conf — the sweep
+    fails loudly naming the key, registry-wide, not just the
+    streaming family the old hygiene test covered."""
     _load()
     con = duckdb_connection(sf_dir)
     results = []
     for name in names or sorted(REGISTRY):
+        before = conf_snapshot(spark)
         try:
-            results.append(check_query(spark, con, name, sf_dir))
+            res = check_query(spark, con, name, sf_dir)
         except Exception as exc:
-            results.append(CheckResult(name, False, f"EXCEPTION: {exc}"))
+            res = CheckResult(name, False, f"EXCEPTION: {exc}")
+        after = conf_snapshot(spark)
+        leaked = {
+            k: (before.get(k), after.get(k))
+            for k in set(before) | set(after)
+            if before.get(k) != after.get(k)
+        }
+        if leaked:
+            res = CheckResult(
+                name,
+                False,
+                f"session conf leak: {leaked}"
+                + (f"; (query itself: {res.detail})" if not res.ok else ""),
+                res.spark_rows,
+                res.oracle_rows,
+            )
+        results.append(res)
     return results

@@ -33,7 +33,34 @@ class _SysPathTrackingPath(list):
     """Package ``__path__`` that recomputes from sys.path on every
     iteration (the import machinery iterates ``__path__`` on each
     submodule lookup, so late sys.path additions are honored).
-    Manually-appended entries are preserved at the end."""
+
+    Manually-appended entries are tracked SEPARATELY in ``_extras``
+    (r10, ADVICE): the rescan rebuilds strictly from ``_here`` +
+    current sys.path + ``_extras``, so a google/ dir that was only
+    reachable via a since-removed sys.path entry stops resolving —
+    previously it was folded into the list on first scan and became
+    indistinguishable from a manual append, persisting forever.
+    """
+
+    def __init__(self, initial):
+        list.__init__(self, initial)
+        self._extras: "list[str]" = []
+
+    def append(self, entry):  # pkgutil-style manual extension
+        if entry not in self._extras:
+            self._extras.append(entry)
+        self._rescan()
+
+    def extend(self, entries):
+        for e in entries:
+            if e not in self._extras:
+                self._extras.append(e)
+        self._rescan()
+
+    def insert(self, index, entry):
+        if entry not in self._extras:
+            self._extras.insert(0 if index <= 0 else len(self._extras), entry)
+        self._rescan()
 
     def _rescan(self) -> "list[str]":
         seen = {_here}
@@ -43,11 +70,12 @@ class _SysPathTrackingPath(list):
             if cand not in seen and _os.path.isdir(cand):
                 seen.add(cand)
                 fresh.append(cand)
-        for extra in list.__iter__(self):
+        for extra in self._extras:
             if extra not in seen:
                 seen.add(extra)
                 fresh.append(extra)
-        self[:] = fresh
+        list.__delitem__(self, slice(None))
+        list.extend(self, fresh)
         return fresh
 
     def __iter__(self):

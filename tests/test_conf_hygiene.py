@@ -34,23 +34,18 @@ STREAMING = [
 
 
 def _sql_conf_snapshot(spark) -> dict:
-    jconf = spark.conf
-    # runtime-settable keys the engine/queries are allowed to touch
-    # transiently; they must still be RESTORED by the time the query
-    # function returns, so no key is excluded from the compare.
-    # spark.sql.legacy.parquet.nanosAsLong is deliberately NOT listed:
-    # catalog.load_table / read_events_stream set it one-way as a
+    # r10 (ADVICE): full-conf snapshot, not a six-key allowlist — SET
+    # lists every explicitly-set SQL conf key, so a leak on ANY key a
+    # query touches and fails to restore diffs red. The only excluded
+    # key is spark.sql.legacy.parquet.nanosAsLong:
+    # catalog.load_table / read_events_stream set it ONE-WAY as a
     # documented engine-level reader conf (it only widens what parquet
-    # footers the session can read), so it is not a leak.
-    keys = [
-        "spark.sql.shuffle.partitions",
-        "spark.sql.streaming.stateStore.providerClass",
-        "spark.sql.adaptive.enabled",
-        "spark.sql.session.timeZone",
-        "spark.sql.streaming.schemaInference",
-        "spark.sql.autoBroadcastJoinThreshold",
-    ]
-    return {k: jconf.get(k, None) for k in keys}
+    # footers the session can read), so it is not a leak. The same
+    # snapshot now also wraps EVERY query in the tools/check.py sweep
+    # (amadou_spark.oracle.check_all), registry-wide.
+    from amadou_spark.oracle import conf_snapshot
+
+    return conf_snapshot(spark)
 
 
 @pytest.mark.parametrize("name", STREAMING)

@@ -126,6 +126,47 @@ PINS: dict[str, tuple[list[str], dict[str, int]]] = {
         ["SortMergeJoin", "CartesianProduct"],
         {"TakeOrderedAndProject": 1},
     ),
+    # r10 (VERDICT r9 #4): the one above-drift r9 bench mover. Its
+    # PLANS.md shape: MG candidates from mapInPandas, recount behind a
+    # BROADCAST semi-join (the only fact-grain join — pinned broadcast,
+    # a sort-merge flip here is exactly the drift the pin kills), then
+    # a crossJoin against the broadcast 1-ROW total (BNLJ over one row
+    # + its SinglePartition fold are allowlisted bounded grains)
+    "q115_heavy_hitters": (
+        ["SortMergeJoin", "CartesianProduct"],
+        {"BroadcastHashJoin": 1, "HashAggregate": 2},
+    ),
+    # r10 (VERDICT r9 #6): composes checkpointed ngram-LSH +
+    # star-contraction; the FINAL plan reads the checkpointed cluster
+    # table and aggregates at bounded histogram grain — join-free, no
+    # single-partition stage at all
+    "llm_dedup_cluster_stats": (
+        [
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+            "Exchange SinglePartition",
+        ],
+        {"HashAggregate": 2},
+    ),
+    # r10 (VERDICT r9 #6): itemset joins ride broadcast (pair/item
+    # count tables are frequency-capped); the 1-row n_transactions
+    # crossJoin (BNLJ) + its fold are allowlisted bounded grains; the
+    # top-k is separately pinned heap-based in TOPK_PINNED
+    "q120_association_rules": (
+        ["SortMergeJoin", "CartesianProduct"],
+        {"BroadcastHashJoin": 2},
+    ),
+    # r10 (VERDICT r9 #6): PQ ADC scoring joins only against broadcast
+    # bounded sides (codebooks, anchor queries); ground-truth recall
+    # compare rides broadcast too. BNLJ legs are 1-row/bounded
+    # broadcast aggregates, never a fact-grain loop
+    "llm_similarity_pq_recall": (
+        ["SortMergeJoin", "CartesianProduct"],
+        {"BroadcastHashJoin": 1},
+    ),
 }
 
 #: top-k claimants (PLANS.md "TakeOrderedAndProject, no global sort"):

@@ -372,3 +372,43 @@ def test_repo_google_path_tracks_late_syspath_additions(tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
         sys.modules.pop("google.late_probe_pkg", None)
+
+
+def test_repo_google_path_drops_removed_syspath_entries(tmp_path):
+    """r10 (ADVICE): a google/ dir discovered via sys.path must stop
+    resolving once its sys.path entry is removed — only MANUAL
+    ``__path__`` appends persist (tracked separately in ``_extras``),
+    so scanned and appended entries are no longer conflated."""
+    import importlib
+    import sys
+
+    import pytest
+
+    import google  # the repo-root bootstrap package
+
+    pkg = tmp_path / "google" / "gone_probe_pkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("MARKER = 'gone'\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        importlib.invalidate_caches()
+        assert importlib.import_module("google.gone_probe_pkg").MARKER == "gone"
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("google.gone_probe_pkg", None)
+    importlib.invalidate_caches()
+    # reachable only via the removed sys.path entry, never manually
+    # appended -> must have dropped out of __path__ on rescan
+    assert str(tmp_path / "google") not in list(google.__path__)
+    with pytest.raises(ImportError):
+        importlib.import_module("google.gone_probe_pkg")
+    # a MANUAL append (pkgutil-style) does persist across rescans
+    google.__path__.append(str(tmp_path / "google"))
+    try:
+        importlib.invalidate_caches()
+        assert importlib.import_module("google.gone_probe_pkg").MARKER == "gone"
+        assert str(tmp_path / "google") in list(google.__path__)
+    finally:
+        sys.modules.pop("google.gone_probe_pkg", None)
+        google.__path__._extras.remove(str(tmp_path / "google"))
+        google.__path__._rescan()

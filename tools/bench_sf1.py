@@ -123,6 +123,12 @@ def main() -> None:
         with open(path) as fh:
             prior_doc = json.load(fh)
         prior = prior_doc.get("queries", {})
+        # r10 (ADVICE): a query that errored THIS run must also lose its
+        # stale prior timing row, mirroring the error-merge rule below —
+        # otherwise totals/ratio/flagged silently reflect the previous
+        # run for a now-failing query.
+        for n in errs:
+            prior.pop(n, None)
         prior.update(queries)
         queries = prior
         # r9 (ADVICE): merge prior errors the same way prior rows are

@@ -31,8 +31,10 @@ def main() -> int:
         from amadou_spark.queries import REGISTRY, _load
 
         _load()
-        with open(PATH) as fh:
-            covered = set(json.load(fh).get("ops", {}))
+        covered: "set[str]" = set()
+        if os.path.exists(PATH):  # missing artifact == zero coverage
+            with open(PATH) as fh:
+                covered = set(json.load(fh).get("ops", {}))
         for n in sorted(set(REGISTRY) - covered):
             print(n)
         return 0
@@ -54,11 +56,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     results = check_all(spark, SF1, names)
 
-    doc = (
-        json.load(open(PATH))
-        if os.path.exists(PATH)
-        else {"ops": {}}
-    )
+    doc = {"ops": {}}
+    if os.path.exists(PATH):
+        with open(PATH) as fh:
+            doc = json.load(fh)
     ops = doc.get("ops", {})
     for r in results:
         row = {"ok": r.ok, "spark_rows": r.spark_rows, "oracle_rows": r.oracle_rows}
