@@ -5239,3 +5239,145 @@ def q169_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.select(
         "event_type", "week", "sum_daily_distinct", "distinct_users"
     ).orderBy("event_type", "week")
+
+
+@query(
+    "q170_histogram_quantile_rollup",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(value / 8.0) AS BIGINT) AS bkt
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), hist AS (
+            SELECT event_type, day, bkt, CAST(count(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2, 3
+        ), d AS (
+            SELECT event_type, day, bkt, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type, day
+                                  ORDER BY bkt) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type, day) AS total
+            FROM hist
+        ), daily AS (
+            SELECT 'daily' AS grain, event_type,
+                   strftime(day, '%Y-%m-%d') AS period,
+                   CAST(MAX(total) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum >= (total + 1) // 2
+                                 THEN bkt END) * 8 AS BIGINT) AS p50_lo,
+                   CAST(MIN(CASE WHEN cum >= (95 * total + 99) // 100
+                                 THEN bkt END) * 8 AS BIGINT) AS p95_lo
+            FROM d GROUP BY 1, 2, 3
+        ), whist AS (
+            SELECT event_type, CAST(weekofyear(day) AS BIGINT) AS wk,
+                   bkt, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM hist GROUP BY 1, 2, 3
+        ), w AS (
+            SELECT event_type, wk, bkt, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type, wk
+                                  ORDER BY bkt) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type, wk) AS total
+            FROM whist
+        ), weekly AS (
+            SELECT 'weekly' AS grain, event_type,
+                   CAST(wk AS VARCHAR) AS period,
+                   CAST(MAX(total) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum >= (total + 1) // 2
+                                 THEN bkt END) * 8 AS BIGINT) AS p50_lo,
+                   CAST(MIN(CASE WHEN cum >= (95 * total + 99) // 100
+                                 THEN bkt END) * 8 AS BIGINT) AS p95_lo
+            FROM w GROUP BY 1, 2, 3
+        )
+        SELECT * FROM daily
+        UNION ALL
+        SELECT * FROM weekly
+        ORDER BY grain, event_type, period
+    """,
+    description="mergeable histogram quantile rollup — the "
+    "approximate-quantile sibling of q169's exact bitmap rollup, "
+    "completing the hypertable re-aggregation pair: the fact is "
+    "scanned ONCE into an equi-width histogram at the (event_type, "
+    "day, value-bucket) grain, and BOTH the daily p50/p95 estimates "
+    "AND the weekly rollup (bucket counts are additive, so coarser "
+    "grains merge by summation) derive from that bounded table "
+    "without rescanning events — exactly how continuous-aggregate "
+    "quantiles reconcile across time grains at 100 TB. Determinism "
+    "armor: the bucket width 8.0 is a power of two (value/8.0 is "
+    "exact in IEEE binary, floor is engine-independent) and the "
+    "quantile targets use pure-BIGINT ceiling division "
+    "((total+1) DIV 2, (95*total+99) DIV 100) rather than float "
+    "rank arithmetic, so the reported bucket lower edges are "
+    "hash-exact across engines; estimate error is bounded by one "
+    "bucket width by construction. Scale shape: one fact-grain "
+    "shuffle builds the histogram (rows = types x days x <=|domain/8| "
+    "buckets, all downstream windows ride partitions bounded by the "
+    "bucket count); the histogram is checkpointed once "
+    "(materialize_shared) so the daily and weekly consumers share "
+    "the materialized blocks instead of re-aggregating the fact",
+    tags=("agg", "sketch", "timeseries"),
+)
+def q170_histogram_quantile_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from amadou_spark.scale import materialize_shared
+
+    t = register_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") / 8.0).cast("bigint").alias("bkt"),
+        )
+    )
+    hist = materialize_shared(
+        ev.groupBy("event_type", "day", "bkt").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+    )
+
+    def quantiles(h: DataFrame, keys: list[str]) -> DataFrame:
+        wcum = (
+            W.partitionBy(*keys)
+            .orderBy("bkt")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        wtot = W.partitionBy(*keys)
+        d = h.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+            "total", F.sum("cnt").over(wtot)
+        )
+        t50 = F.expr("(total + 1) DIV 2")
+        t95 = F.expr("(95 * total + 99) DIV 100")
+        return d.groupBy(*keys).agg(
+            F.max("total").cast("bigint").alias("n"),
+            (F.min(F.when(F.col("cum") >= t50, F.col("bkt"))) * 8)
+            .cast("bigint")
+            .alias("p50_lo"),
+            (F.min(F.when(F.col("cum") >= t95, F.col("bkt"))) * 8)
+            .cast("bigint")
+            .alias("p95_lo"),
+        )
+
+    daily = quantiles(hist, ["event_type", "day"]).select(
+        F.lit("daily").alias("grain"),
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("period"),
+        "n",
+        "p50_lo",
+        "p95_lo",
+    )
+    whist = hist.groupBy(
+        "event_type",
+        F.weekofyear("day").cast("bigint").alias("wk"),
+        "bkt",
+    ).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    weekly = quantiles(whist, ["event_type", "wk"]).select(
+        F.lit("weekly").alias("grain"),
+        "event_type",
+        F.col("wk").cast("string").alias("period"),
+        "n",
+        "p50_lo",
+        "p95_lo",
+    )
+    return daily.unionByName(weekly).orderBy(
+        "grain", "event_type", "period"
+    )

@@ -159,6 +159,20 @@ PINS: dict[str, tuple[list[str], dict[str, int]]] = {
         ["SortMergeJoin", "CartesianProduct"],
         {"BroadcastHashJoin": 2},
     ),
+    # r10: histogram rollup mirrors q169's shape — the final plan reads
+    # the checkpointed (type, day, bucket) histogram for BOTH grains
+    # and must stay join-free with no single-partition stage
+    "q170_histogram_quantile_rollup": (
+        [
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+            "Exchange SinglePartition",
+        ],
+        {"Window": 4},
+    ),
     # r10 (VERDICT r9 #6): PQ ADC scoring joins only against broadcast
     # bounded sides (codebooks, anchor queries); ground-truth recall
     # compare rides broadcast too. BNLJ legs are 1-row/bounded

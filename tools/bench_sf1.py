@@ -3,8 +3,9 @@
 BENCH_SCALE probes 65 ops a decade above the driver bench; this tool
 covers ALL registered queries once: each query is timed at sf0.1 AND at
 the 10x sf1 slice (``scale_probe_data/sf1`` — built by
-``tools/scale_probe.py``; lineitem/documents/events/customer/orders are
-10x key-shifted disjoint replicas, every other table is the sf0.1 file)
+``tools/scale_probe.py``; lineitem/documents/events/customer/orders/
+embeddings/part are 10x key-shifted disjoint replicas, region/nation/
+supplier are the sf0.1 files)
 IN THE SAME SESSION, interleaved (A@0.1, A@1, B@0.1, B@1, ...) so the
 per-query sf1/sf0.1 ratio is host-drift-free by construction. Queries
 are forced with count() like bench.py; min-of-N per (query, sf).
@@ -148,10 +149,11 @@ def main() -> None:
         "(scale_probe_data/sf1), interleaved same-session min-of-"
         f"{args.runs} — per-query ratios are host-drift-free by "
         "construction",
-        "slice_note": "lineitem/documents/events/customer/orders are "
-        "10x disjoint replicas; region/nation/part/supplier/embeddings "
-        "are the sf0.1 files (queries reading only those see 1x data "
-        "and ratios near 1)",
+        "slice_note": "lineitem/documents/events/customer/orders/"
+        "embeddings/part are 10x disjoint replicas (embeddings since "
+        "layout v3/r9, part since v4/r10); region/nation/supplier are "
+        "the sf0.1 files (queries reading only those see 1x data and "
+        "ratios near 1)",
         "gate": args.gate,
         "n_queries": len(queries),
         "n_errors": len(errs),

@@ -166,13 +166,58 @@ EXPECTED = {
         "join state O(horizon) + window state O(open windows); both watermark-bounded",
         1.3,
     ),
+    # r10 (VERDICT r9 #2): the ANN/similarity family's first >1x
+    # measured evidence — the v3 slice replicated embeddings 10x
+    # (10x vectors AND 10x clusters), these entries put the family
+    # under the exponent gate alongside its bench/oracle restamps
+    "llm_similarity_topk": (
+        "bounded anchor set broadcast vs one corpus scan, pandas-batched dots, linear in vectors",
+        1.3,
+    ),
+    "llm_similarity_lsh_recall": (
+        "banded hyperplane LSH bucket self-join; candidates bounded by bucket load at fixed cluster structure",
+        1.3,
+    ),
+    "llm_similarity_ivf_recall": (
+        "IVF: nprobe nearest centroids per query bound the probed fraction, linear in vectors",
+        1.3,
+    ),
+    "llm_similarity_pq_recall": (
+        "PQ ADC scan against broadcast codebooks, linear in code rows",
+        1.3,
+    ),
+    "llm_embedding_quantize": (
+        "per-row quantization expressions + bounded codebook agg, zero fact-grain shuffle",
+        1.3,
+    ),
+    # r10: part is replicated from layout v4 on — the part-heavy TPC-H
+    # shapes get real 10x dimension evidence
+    "q49_tpch_q2": (
+        "min-cost-supplier argmax per part: dim joins broadcast/equi, linear in part x lineitem",
+        1.3,
+    ),
+    "q53_tpch_q17": (
+        "per-part avg-qty agg joined back at part grain, linear",
+        1.3,
+    ),
+    "q170_histogram_quantile_rollup": (
+        "one fact agg to the (type, day, value-bucket) grain; quantile recovery + weekly merge on the bounded table",
+        1.3,
+    ),
 }
 
 
 def build_sf1(spark, replicas: int) -> dict:
     """Synthesize the sf1 slice under PROBE_DIR; idempotent per layout
-    version (a marker file records the replica count)."""
-    marker = os.path.join(PROBE_DIR, f".built_v3_r{replicas}")
+    version (a marker file records the replica count). v4 (r10,
+    VERDICT r9 #2): ``part`` joins the replicated set — its
+    ``p_partkey`` shift uses the SAME offset as lineitem's
+    ``l_partkey`` shift, so part<->lineitem FK joins stay
+    within-replica across all 10 replicas and the part-heavy TPC-H
+    shapes (q49/q53/q54) finally see 10x dimension data. Incremental:
+    tables already built by a prior layout are kept (the replica
+    construction is deterministic), only missing tables are written."""
+    marker = os.path.join(PROBE_DIR, f".built_v4_r{replicas}")
     if os.path.exists(marker):
         return json.load(open(marker))
     os.makedirs(PROBE_DIR, exist_ok=True)
@@ -186,17 +231,20 @@ def build_sf1(spark, replicas: int) -> dict:
         "events",
         "customer",
         "orders",
+        "part",
     )
     for t in TABLE_NAMES:
+        dst = os.path.join(PROBE_DIR, f"{t}.parquet")
         if t in replicated:
-            # layout v2 symlinked events/customer/orders — replace
-            dst = os.path.join(PROBE_DIR, f"{t}.parquet")
+            # earlier layouts symlinked some of these — replace
             if os.path.islink(dst):
                 os.unlink(dst)
             continue
-        dst = os.path.join(PROBE_DIR, f"{t}.parquet")
         if not os.path.lexists(dst):
             os.symlink(os.path.join(SF01, f"{t}.parquet"), dst)
+
+    def _built(table: str) -> bool:
+        return os.path.isdir(os.path.join(PROBE_DIR, f"{table}.parquet"))
 
     def _rep(df, shifts: dict):
         """Key-shifted disjoint replicas: shifted cols get
@@ -214,29 +262,32 @@ def build_sf1(spark, replicas: int) -> dict:
             ]
         )
 
-    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
-    mx_ev = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
-    rep_ev = _rep(
-        ev, {"event_id": int(mx_ev[0]) + 1, "user_id": int(mx_ev[1]) + 1}
-    )
-    rep_ev.write.mode("overwrite").parquet(
-        os.path.join(PROBE_DIR, "events.parquet")
-    )
+    if not _built("events"):
+        ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+        mx_ev = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+        rep_ev = _rep(
+            ev, {"event_id": int(mx_ev[0]) + 1, "user_id": int(mx_ev[1]) + 1}
+        )
+        rep_ev.write.mode("overwrite").parquet(
+            os.path.join(PROBE_DIR, "events.parquet")
+        )
 
     cu = spark.read.parquet(os.path.join(SF01, "customer.parquet"))
     off_c = int(cu.agg(F.max("c_custkey")).collect()[0][0]) + 1
-    _rep(cu, {"c_custkey": off_c}).write.mode("overwrite").parquet(
-        os.path.join(PROBE_DIR, "customer.parquet")
-    )
+    if not _built("customer"):
+        _rep(cu, {"c_custkey": off_c}).write.mode("overwrite").parquet(
+            os.path.join(PROBE_DIR, "customer.parquet")
+        )
 
-    od = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
-    off_ok = int(od.agg(F.max("o_orderkey")).collect()[0][0]) + 1
-    # o_custkey shift matches customer's so FK joins stay within-replica
-    _rep(
-        od, {"o_orderkey": off_ok, "o_custkey": off_c}
-    ).write.mode("overwrite").parquet(
-        os.path.join(PROBE_DIR, "orders.parquet")
-    )
+    if not _built("orders"):
+        od = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
+        off_ok = int(od.agg(F.max("o_orderkey")).collect()[0][0]) + 1
+        # o_custkey shift matches customer's so FK joins stay within-replica
+        _rep(
+            od, {"o_orderkey": off_ok, "o_custkey": off_c}
+        ).write.mode("overwrite").parquet(
+            os.path.join(PROBE_DIR, "orders.parquet")
+        )
 
     li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
     mx = li.agg(
@@ -244,20 +295,39 @@ def build_sf1(spark, replicas: int) -> dict:
     ).collect()[0]
     off_o = (int(mx[0]) // 5 + 1) * 5  # multiple of 5: keeps %5 sample aligned
     off_p, off_s = int(mx[1]) + 1, int(mx[2]) + 1
-    shifted = {"l_orderkey": off_o, "l_partkey": off_p, "l_suppkey": off_s}
-    rep = li.crossJoin(
-        spark.range(replicas).select(F.col("id").cast("bigint").alias("_r"))
-    ).select(
-        *[
-            (F.col(c) + F.col("_r") * shifted[c]).alias(c)
-            if c in shifted
-            else F.col(c)
-            for c in li.columns
-        ]
-    )
-    rep.write.mode("overwrite").parquet(
-        os.path.join(PROBE_DIR, "lineitem.parquet")
-    )
+    if not _built("lineitem"):
+        shifted = {"l_orderkey": off_o, "l_partkey": off_p, "l_suppkey": off_s}
+        rep = li.crossJoin(
+            spark.range(replicas).select(F.col("id").cast("bigint").alias("_r"))
+        ).select(
+            *[
+                (F.col(c) + F.col("_r") * shifted[c]).alias(c)
+                if c in shifted
+                else F.col(c)
+                for c in li.columns
+            ]
+        )
+        rep.write.mode("overwrite").parquet(
+            os.path.join(PROBE_DIR, "lineitem.parquet")
+        )
+
+    # part (v4): p_partkey rides the SAME offset as l_partkey so every
+    # replica's lineitem rows join their own replica's part rows — and
+    # the offset must also clear part's own key domain or replica key
+    # ranges would overlap into duplicate p_partkey values.
+    if not _built("part"):
+        pt = spark.read.parquet(os.path.join(SF01, "part.parquet"))
+        mx_p = int(pt.agg(F.max("p_partkey")).collect()[0][0])
+        if mx_p >= off_p:
+            raise SystemExit(
+                f"p_partkey domain (max {mx_p}) exceeds lineitem's "
+                f"l_partkey shift {off_p}; aligned disjoint replicas "
+                "impossible without rebuilding lineitem with a larger "
+                "shared offset"
+            )
+        _rep(pt, {"p_partkey": off_p}).write.mode("overwrite").parquet(
+            os.path.join(PROBE_DIR, "part.parquet")
+        )
 
     docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     off_d = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
@@ -290,9 +360,10 @@ def build_sf1(spark, replicas: int) -> dict:
             )
         ).cast("bigint").alias("n_chars"),
     )
-    rep_docs.write.mode("overwrite").parquet(
-        os.path.join(PROBE_DIR, "documents.parquet")
-    )
+    if not _built("documents"):
+        rep_docs.write.mode("overwrite").parquet(
+            os.path.join(PROBE_DIR, "documents.parquet")
+        )
 
     # embeddings: id- and label-shifted disjoint replicas — per-replica
     # cluster structure (sizes, centroids, within-cluster geometry) is
@@ -311,16 +382,24 @@ def build_sf1(spark, replicas: int) -> dict:
         "embedding",
         (F.col("label") + F.col("_r").cast("int") * off_l).alias("label"),
     )
-    rep_emb.write.mode("overwrite").parquet(emb_dst)
+    if not _built("embeddings"):
+        rep_emb.write.mode("overwrite").parquet(emb_dst)
+
+    def _rows(table: str) -> int:
+        return spark.read.parquet(
+            os.path.join(PROBE_DIR, f"{table}.parquet")
+        ).count()
 
     info = {
         "replicas": replicas,
-        "lineitem_rows": rep.count(),
-        "documents_rows": rep_docs.count(),
-        "embeddings_rows": rep_emb.count(),
-        "events_rows": rep_ev.count(),
+        "lineitem_rows": _rows("lineitem"),
+        "documents_rows": _rows("documents"),
+        "embeddings_rows": _rows("embeddings"),
+        "events_rows": _rows("events"),
+        "part_rows": _rows("part"),
     }
-    json.dump(info, open(marker, "w"))
+    with open(marker, "w") as fh:
+        json.dump(info, fh)
     return info
 
 
