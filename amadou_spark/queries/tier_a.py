@@ -259,15 +259,27 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q12_theta_join",
     oracle="""
-        SELECT p1.p_brand AS brand, p1.p_partkey AS k1, p2.p_partkey AS k2
+        SELECT p1.p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(p1.p_partkey) AS BIGINT) AS sum_k1,
+               CAST(SUM(p2.p_partkey) AS BIGINT) AS sum_k2
         FROM part p1 JOIN part p2
           ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
-        ORDER BY brand, k1, k2
+        GROUP BY 1
+        ORDER BY 1
     """,
     description=(
-        "non-equi (range) theta join bounded by an equi key: Catalyst plans the "
-        "brand equality as the join key and evaluates p_size < p_size as a "
-        "residual filter — at scale this avoids the O(n²) cartesian"
+        "non-equi (range) theta join bounded by an equi key — the join is "
+        "exactly SURVEY Q12's part self-join (brand equality + p_size < "
+        "p_size): Catalyst plans the brand equality as the join key and "
+        "evaluates the inequality as a residual filter, avoiding the O(n²) "
+        "cartesian. r10: the RESULT is folded to the brand grain (pair "
+        "count + exact BIGINT key checksums over both pair legs, so any "
+        "lost/duplicated/mismatched pair still flips the hash) instead of "
+        "emitting pair-level rows — theta-join output is inherently "
+        "quadratic in |part| (10x parts per brand => ~100x pairs), and "
+        "shipping the pair set off the cluster is never the 100 TB shape; "
+        "the 10x probe slice's driver-side collect proved it (>1 GiB)"
     ),
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,12 +292,13 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p1.p_brand") == F.col("p2.p_brand"))
             & (F.col("p1.p_size") < F.col("p2.p_size")),
         )
-        .select(
-            F.col("p1.p_brand").alias("brand"),
-            F.col("p1.p_partkey").alias("k1"),
-            F.col("p2.p_partkey").alias("k2"),
+        .groupBy(F.col("p1.p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("p1.p_partkey").cast("bigint").alias("sum_k1"),
+            F.sum("p2.p_partkey").cast("bigint").alias("sum_k2"),
         )
-        .orderBy("brand", "k1", "k2")
+        .orderBy("brand")
     )
 
 

@@ -204,6 +204,13 @@ EXPECTED = {
         "one fact agg to the (type, day, value-bucket) grain; quantile recovery + weekly merge on the bounded table",
         1.3,
     ),
+    "q12_theta_join": (
+        # same treatment as q168: the declared work is superlinear —
+        # within-brand pair volume grows with (parts per brand)^2, so
+        # 10x part => ~100x pairs through the residual + partial agg
+        "brand-bounded theta self-join: pair volume quadratic in parts per brand (10x part => ~100x pairs)",
+        2.2,
+    ),
 }
 
 
