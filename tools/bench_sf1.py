@@ -166,6 +166,7 @@ def main() -> None:
         "the sf0.1 files (queries reading only those see 1x data and "
         "ratios near 1)",
         "gate": args.gate,
+        "gate_overrides": GATE_OVERRIDES,
         "n_queries": len(queries),
         "n_errors": len(errs),
         "total_sf0_1_sec": round(sum(v["sf0_1_sec"] for v in queries.values()), 1),
