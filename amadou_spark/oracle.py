@@ -214,5 +214,15 @@ def check_all(
                 res.spark_rows,
                 res.oracle_rows,
             )
+            # contain the blast radius: restore the pre-query conf so
+            # the leak is attributed to THIS row only — without this,
+            # every later query in the sweep runs under the leaked
+            # setting (its before-snapshot already includes the leak,
+            # so it passes while silently measuring a different plan)
+            for k, (old, new) in leaked.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
         results.append(res)
     return results

@@ -44,27 +44,49 @@ class _SysPathTrackingPath(list):
 
     def __init__(self, initial):
         list.__init__(self, initial)
+        # front extras (insert(0, ...)) are emitted right after _here,
+        # BEFORE sys.path-scanned dirs, so an explicit priority insert
+        # actually shadows scanned packages; back extras come last.
+        self._extras_front: "list[str]" = []
         self._extras: "list[str]" = []
 
+    def _known(self, entry) -> bool:
+        return entry in self._extras or entry in self._extras_front
+
     def append(self, entry):  # pkgutil-style manual extension
-        if entry not in self._extras:
+        if not self._known(entry):
             self._extras.append(entry)
         self._rescan()
 
     def extend(self, entries):
         for e in entries:
-            if e not in self._extras:
+            if not self._known(e):
                 self._extras.append(e)
         self._rescan()
 
+    def __iadd__(self, entries):
+        # `google.__path__ += [...]` — CPython's list.__iadd__ would
+        # mutate the underlying list directly, bypassing extend(), and
+        # the next rescan would wipe the entry. Route it through
+        # extend() so the addition persists.
+        self.extend(entries)
+        return self
+
     def insert(self, index, entry):
-        if entry not in self._extras:
-            self._extras.insert(0 if index <= 0 else len(self._extras), entry)
+        if not self._known(entry):
+            if index <= 0:
+                self._extras_front.insert(0, entry)
+            else:
+                self._extras.append(entry)
         self._rescan()
 
     def _rescan(self) -> "list[str]":
         seen = {_here}
         fresh = [_here]
+        for extra in self._extras_front:
+            if extra not in seen:
+                seen.add(extra)
+                fresh.append(extra)
         for _p in list(_sys.path):
             cand = _os.path.abspath(_os.path.join(_p or ".", "google"))
             if cand not in seen and _os.path.isdir(cand):

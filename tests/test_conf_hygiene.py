@@ -48,6 +48,33 @@ def _sql_conf_snapshot(spark) -> dict:
     return conf_snapshot(spark)
 
 
+def test_check_all_flags_and_restores_a_conf_leak(spark, sf_dir):
+    """r10 (review): the registry-wide conf gate must (a) fail the
+    leaking row naming the key AND (b) restore the pre-query conf, so
+    one leaky query can't silently change the environment every later
+    row in the sweep runs (and is measured) under."""
+    from amadou_spark.oracle import check_all
+    from amadou_spark.queries import REGISTRY, Query
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key, None)
+
+    def leaky(s, d):
+        s.conf.set(key, "12345b")
+        return s.range(3)
+
+    name = "zz_test_leaky_conf"
+    REGISTRY[name] = Query(name, leaky, None, "test-only leak probe", ())
+    try:
+        results = check_all(spark, sf_dir, [name])
+    finally:
+        REGISTRY.pop(name, None)
+    assert len(results) == 1 and not results[0].ok
+    assert "session conf leak" in results[0].detail
+    assert key in results[0].detail
+    assert spark.conf.get(key, None) == before  # blast radius contained
+
+
 @pytest.mark.parametrize("name", STREAMING)
 def test_streaming_query_leaves_session_conf_untouched(spark, sf_dir, name):
     _load()

@@ -412,3 +412,50 @@ def test_repo_google_path_drops_removed_syspath_entries(tmp_path):
         sys.modules.pop("google.gone_probe_pkg", None)
         google.__path__._extras.remove(str(tmp_path / "google"))
         google.__path__._rescan()
+
+
+def test_repo_google_path_augmented_assign_and_priority_insert(tmp_path):
+    """r10 (review): `google.__path__ += [...]` must persist across
+    rescans (CPython's list.__iadd__ would otherwise bypass the
+    overridden extend and the entry would be wiped), and insert(0, ...)
+    must yield priority over sys.path-scanned dirs."""
+    import importlib
+    import sys
+
+    import google
+
+    d1 = tmp_path / "aug" / "google"
+    (d1 / "iadd_probe_pkg").mkdir(parents=True)
+    (d1 / "iadd_probe_pkg" / "__init__.py").write_text("MARKER = 'iadd'\n")
+    google.__path__ += [str(d1)]
+    try:
+        importlib.invalidate_caches()
+        assert importlib.import_module("google.iadd_probe_pkg").MARKER == "iadd"
+        assert str(d1) in list(google.__path__)  # survived the rescan
+    finally:
+        sys.modules.pop("google.iadd_probe_pkg", None)
+        google.__path__._extras.remove(str(d1))
+        google.__path__._rescan()
+
+    # insert(0): front extra shadows a sys.path-scanned dir
+    shadowed = tmp_path / "scanned" / "google" / "prio_probe_pkg"
+    shadowed.mkdir(parents=True)
+    (shadowed / "__init__.py").write_text("MARKER = 'scanned'\n")
+    front = tmp_path / "front" / "google" / "prio_probe_pkg"
+    front.mkdir(parents=True)
+    (front / "__init__.py").write_text("MARKER = 'front'\n")
+    sys.path.insert(0, str(tmp_path / "scanned"))
+    google.__path__.insert(0, str(tmp_path / "front" / "google"))
+    try:
+        importlib.invalidate_caches()
+        mod = importlib.import_module("google.prio_probe_pkg")
+        assert mod.MARKER == "front"  # front extra wins over scanned
+        paths = list(google.__path__)
+        assert paths.index(str(tmp_path / "front" / "google")) < paths.index(
+            str((tmp_path / "scanned" / "google").resolve())
+        )
+    finally:
+        sys.path.remove(str(tmp_path / "scanned"))
+        sys.modules.pop("google.prio_probe_pkg", None)
+        google.__path__._extras_front.remove(str(tmp_path / "front" / "google"))
+        google.__path__._rescan()

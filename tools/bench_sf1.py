@@ -124,7 +124,9 @@ def main() -> None:
             "ratio": round(t_big[n] / max(t_small[n], 1e-9), 2),
         }
         for n in t_big
-        if n in t_small
+        # a query that succeeded in an early round but errored later
+        # must not carry a timing row — errors win (r10, review)
+        if n in t_small and n not in errs
     }
     # a subset run refreshes its rows INSIDE the full artifact rather
     # than clobbering the registry-wide record (the determinism.py rule)

@@ -250,8 +250,28 @@ def build_sf1(spark, replicas: int) -> dict:
         if not os.path.lexists(dst):
             os.symlink(os.path.join(SF01, f"{t}.parquet"), dst)
 
+    # Reuse of previously built tables is valid ONLY when a prior
+    # layout marker for the SAME replica count exists — a run with a
+    # different --replicas must rebuild everything, not silently stamp
+    # a new-count marker over old-count data (which would corrupt every
+    # exponent downstream). A table also only counts as built when its
+    # Spark _SUCCESS commit marker exists: an interrupted prior write
+    # leaves a partial directory that must be overwritten, not trusted.
+    import glob as _glob
+    import re as _re
+
+    reuse_ok = any(
+        (m := _re.search(r"\.built_v\d+_r(\d+)$", p)) and int(m.group(1)) == replicas
+        for p in _glob.glob(os.path.join(PROBE_DIR, ".built_v*_r*"))
+    )
+
     def _built(table: str) -> bool:
-        return os.path.isdir(os.path.join(PROBE_DIR, f"{table}.parquet"))
+        d = os.path.join(PROBE_DIR, f"{table}.parquet")
+        return (
+            reuse_ok
+            and os.path.isdir(d)
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
+        )
 
     def _rep(df, shifts: dict):
         """Key-shifted disjoint replicas: shifted cols get
@@ -279,8 +299,9 @@ def build_sf1(spark, replicas: int) -> dict:
             os.path.join(PROBE_DIR, "events.parquet")
         )
 
-    cu = spark.read.parquet(os.path.join(SF01, "customer.parquet"))
-    off_c = int(cu.agg(F.max("c_custkey")).collect()[0][0]) + 1
+    if not _built("customer") or not _built("orders"):
+        cu = spark.read.parquet(os.path.join(SF01, "customer.parquet"))
+        off_c = int(cu.agg(F.max("c_custkey")).collect()[0][0]) + 1
     if not _built("customer"):
         _rep(cu, {"c_custkey": off_c}).write.mode("overwrite").parquet(
             os.path.join(PROBE_DIR, "customer.parquet")
@@ -296,12 +317,14 @@ def build_sf1(spark, replicas: int) -> dict:
             os.path.join(PROBE_DIR, "orders.parquet")
         )
 
-    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
-    mx = li.agg(
-        F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
-    ).collect()[0]
-    off_o = (int(mx[0]) // 5 + 1) * 5  # multiple of 5: keeps %5 sample aligned
-    off_p, off_s = int(mx[1]) + 1, int(mx[2]) + 1
+    if not _built("lineitem") or not _built("part"):
+        li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+        mx = li.agg(
+            F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
+        ).collect()[0]
+        # multiple of 5: keeps the %5 sample aligned
+        off_o = (int(mx[0]) // 5 + 1) * 5
+        off_p, off_s = int(mx[1]) + 1, int(mx[2]) + 1
     if not _built("lineitem"):
         shifted = {"l_orderkey": off_o, "l_partkey": off_p, "l_suppkey": off_s}
         rep = li.crossJoin(
@@ -336,27 +359,17 @@ def build_sf1(spark, replicas: int) -> dict:
             os.path.join(PROBE_DIR, "part.parquet")
         )
 
-    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
-    off_d = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
-    rep_docs = docs.crossJoin(
-        spark.range(replicas).select(F.col("id").cast("bigint").alias("_r"))
-    ).select(
-        (F.col("doc_id") + F.col("_r") * off_d).alias("doc_id"),
-        F.when(F.col("_r") == 0, F.col("text"))
-        .otherwise(
-            F.array_join(
-                F.expr(
-                    "transform(split(text, ' '), "
-                    "x -> concat('r', CAST(_r AS STRING), 'x', x))"
-                ),
-                " ",
+    if not _built("documents"):
+        docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        off_d = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+        rep_docs = docs.crossJoin(
+            spark.range(replicas).select(
+                F.col("id").cast("bigint").alias("_r")
             )
-        )
-        .alias("text"),
-        "lang",
-        "source",
-        F.length(
-            F.when(F.col("_r") == 0, F.col("text")).otherwise(
+        ).select(
+            (F.col("doc_id") + F.col("_r") * off_d).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(
                 F.array_join(
                     F.expr(
                         "transform(split(text, ' '), "
@@ -365,9 +378,21 @@ def build_sf1(spark, replicas: int) -> dict:
                     " ",
                 )
             )
-        ).cast("bigint").alias("n_chars"),
-    )
-    if not _built("documents"):
+            .alias("text"),
+            "lang",
+            "source",
+            F.length(
+                F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                    F.array_join(
+                        F.expr(
+                            "transform(split(text, ' '), "
+                            "x -> concat('r', CAST(_r AS STRING), 'x', x))"
+                        ),
+                        " ",
+                    )
+                )
+            ).cast("bigint").alias("n_chars"),
+        )
         rep_docs.write.mode("overwrite").parquet(
             os.path.join(PROBE_DIR, "documents.parquet")
         )
@@ -379,17 +404,17 @@ def build_sf1(spark, replicas: int) -> dict:
     emb_dst = os.path.join(PROBE_DIR, "embeddings.parquet")
     if os.path.islink(emb_dst):
         os.unlink(emb_dst)  # layout v1 symlinked it
-    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
-    mx_e = emb.agg(F.max("vec_id"), F.max("label")).collect()[0]
-    off_v, off_l = int(mx_e[0]) + 1, int(mx_e[1]) + 1
-    rep_emb = emb.crossJoin(
-        spark.range(replicas).select(F.col("id").alias("_r"))
-    ).select(
-        (F.col("vec_id") + F.col("_r") * off_v).alias("vec_id"),
-        "embedding",
-        (F.col("label") + F.col("_r").cast("int") * off_l).alias("label"),
-    )
     if not _built("embeddings"):
+        emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+        mx_e = emb.agg(F.max("vec_id"), F.max("label")).collect()[0]
+        off_v, off_l = int(mx_e[0]) + 1, int(mx_e[1]) + 1
+        rep_emb = emb.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("_r"))
+        ).select(
+            (F.col("vec_id") + F.col("_r") * off_v).alias("vec_id"),
+            "embedding",
+            (F.col("label") + F.col("_r").cast("int") * off_l).alias("label"),
+        )
         rep_emb.write.mode("overwrite").parquet(emb_dst)
 
     def _rows(table: str) -> int:
@@ -405,6 +430,12 @@ def build_sf1(spark, replicas: int) -> dict:
         "events_rows": _rows("events"),
         "part_rows": _rows("part"),
     }
+    # retire markers from other layouts/replica counts: the slice dir
+    # now holds THIS layout's data, and a stale marker would let a
+    # later run short-circuit onto mismatched tables
+    for p in _glob.glob(os.path.join(PROBE_DIR, ".built_v*_r*")):
+        if p != marker:
+            os.unlink(p)
     with open(marker, "w") as fh:
         json.dump(info, fh)
     return info
