@@ -53,6 +53,18 @@ _DEFAULTS = {
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     ),
+    # r10 (optimization): RocksDB CHANGELOG checkpointing. Without it
+    # every micro-batch commit uploads a full SST snapshot per state
+    # store — measured 16-36 s of summed commitTimeMs per batch across
+    # the b06/b09 family for ~40k rows of state. With it, commit writes
+    # only the batch's state delta (the changelog) and full snapshots
+    # happen asynchronously in the maintenance thread — commit latency
+    # becomes O(delta), not O(state), which is also the production
+    # posture for large stateful pipelines (state >> delta at 100 TB).
+    # Paired A/B at sf0.1: ~11% off the streaming family's min times.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
 }
 
 

@@ -80,14 +80,20 @@ def upsert_batch(
         else:
             merged = latest
         # write to a staging dir then swap: the source dir is being read
-        # in this very job, so an in-place overwrite would race the scan
+        # in this very job, so an in-place overwrite would race the scan.
+        # r10: the swap is a DIRECTORY RENAME, not a second Spark
+        # write — the old read-staging-and-rewrite swap recomputed and
+        # rewrote the whole table a second time per micro-batch
+        # (2x the O(table) rewrite cost this sink already pays). By the
+        # time merged.write returns, the scan of `current` has fully
+        # materialized, so dropping `path` and renaming staging over it
+        # has the same (non-atomic-window) semantics the overwrite had.
         staging = f"{path}.__staging__"
         merged.write.mode("overwrite").parquet(staging)
-        final = spark.read.parquet(staging)
-        final.write.mode("overwrite").parquet(path)
         import shutil
 
-        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(staging, path)
 
     return apply
 

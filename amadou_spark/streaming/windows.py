@@ -50,7 +50,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_stream_to_table(
     stream_df: DataFrame,
     mode: str = "complete",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
     confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drive a (finite) streaming query to completion through a memory
@@ -64,6 +64,15 @@ def run_stream_to_table(
     store bookkeeping than on data (measured 7.7s → 1.2s at sf0.1).
     Size it to expected STATE, not batch shuffle width; the conf is
     saved/restored around start so the session default is untouched.
+    r10: default 8 → 4 — a paired sweep at sf0.1 measured the
+    JVM-stateful family (windows, joins, dedup) ~15-25% faster at 4
+    (fewer RocksDB instances to open/commit per batch) with no loss
+    of useful parallelism at this state size. The two PYTHON-stateful
+    queries (applyInPandasWithState, transformWithState) pass 8
+    explicitly: their per-partition work crosses the Python boundary,
+    and the same sweep measured them ~30% SLOWER at 4. At real state
+    volumes size this up via the parameter — it is per-query, not a
+    session constant.
 
     ``confs``: extra session confs the query must see at START (e.g.
     ``stateful.ROCKSDB_PROVIDER_CONF`` for transformWithState on a
@@ -74,6 +83,15 @@ def run_stream_to_table(
     name = f"amadou_stream_{uuid.uuid4().hex[:8]}"
     to_set = dict(confs or {})
     to_set["spark.sql.shuffle.partitions"] = str(state_partitions)
+    # r10: changelog checkpointing must be ON at query start for the
+    # commit path to write deltas instead of full per-store snapshots
+    # (see session.py _DEFAULTS — this covers vanilla sessions too).
+    # Caller-provided confs win; set/restored like everything else.
+    to_set.setdefault(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
     saved = {k: spark.conf.get(k, None) for k in to_set}
     for k, v in to_set.items():
         spark.conf.set(k, v)
