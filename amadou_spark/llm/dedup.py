@@ -167,8 +167,14 @@ def _shingle_pair_counts(
     # |distinct doc_id in sh| == |counts| <= |docs|, so it soundly
     # bounds the counts-side broadcast without re-running the full
     # upstream docs lineage a second time (docs itself is uncached).
-    n_docs = sh.select("doc_id").distinct().count()
-    hot_bound = sh.count() // max_shingle_freq
+    # both gate bounds in ONE job over the checkpointed blocks (r10 —
+    # they were two separate actions; each action is a full job and the
+    # bounds feed planning only, so fusing them is free)
+    stats = sh.agg(
+        F.countDistinct("doc_id").alias("nd"), F.count("*").alias("nr")
+    ).first()
+    n_docs = stats["nd"]
+    hot_bound = stats["nr"] // max_shingle_freq
     sh = sh.join(_gate(hot, hot_bound), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
