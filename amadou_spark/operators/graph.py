@@ -46,6 +46,60 @@ LOCAL_CC_MAX_EDGES = 2_000_000
 CODEGEN_OFF_MAX_EDGES = 200_000
 
 
+def _loop_width(spark, n_rows: int) -> int:
+    """Right-size an iterative loop's shuffle width to its real row
+    count (the decision AQE would make per stage, taken once for the
+    whole loop): ~50k rows per partition, capped at the core count."""
+    return max(
+        1, min(spark.sparkContext.defaultParallelism, n_rows // 50_000 + 1)
+    )
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _loop_confs(spark, n_rows: int):
+    """The iterative-loop conf hygiene the CC/PageRank loops pioneered
+    (r6-r8), factored out in r10 and applied to EVERY graph fixpoint
+    (kcore, BFS, SSSP, HITS, LPA had been paying the un-hygienic cost:
+    q98_kcore ran 56 Spark jobs at sf0.1, mostly AQE stage
+    materializations of per-round exchanges over tiny data):
+
+    - AQE off for the loop: its per-exchange query-stage
+      materialization adds whole jobs to every round whose width is
+      already decided here from the real row count;
+    - shuffle width pinned to ``_loop_width`` — the session default is
+      sized for batch scans, not for a loop over a shrunken graph;
+    - whole-stage codegen off below ``CODEGEN_OFF_MAX_EDGES`` — each
+      round is a NEW plan, so codegen re-compiles every stage every
+      round (~100 ms each), a loss while rounds are tiny.
+
+    Restoration tracks whether each key was EXPLICITLY set before
+    (conf.get(k, None) is None for unset keys): a previously-unset key
+    is UNSET again, not re-set to its effective default — re-setting
+    would flip the key from implicit to explicit, which the
+    registry-wide conf-leak gate (oracle.check_all, r10) correctly
+    reports as a leak. Restoration is in a finally."""
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(_loop_width(spark, n_rows)),
+    }
+    if n_rows <= CODEGEN_OFF_MAX_EDGES:
+        keys["spark.sql.codegen.wholeStage"] = "false"
+    before = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _local_components(edges_rows) -> list:
     """Driver-side union-find over a bounded edge list; returns
     [(node, cluster_id=min id in component), ...]."""
@@ -287,34 +341,14 @@ def connected_components(
         labels.persist()
         labels.count()
     directed.unpersist()
-    # AQE's per-exchange query-stage materialization adds whole jobs to
-    # every round of this already-explicitly-partitioned loop; switch it
-    # off for the fixpoint and restore afterwards. (At scale the loop's
-    # width is set from the real edge count above, which is the decision
-    # AQE would be making.)
-    aqe_key = "spark.sql.adaptive.enabled"
-    aqe_before = spark.conf.get(aqe_key)
-    spark.conf.set(aqe_key, "false")
-    # With AQE off, every join/groupBy inside the loop would shuffle to
-    # the session-wide spark.sql.shuffle.partitions (tuned for batch
-    # scans, e.g. 32) regardless of the explicit n_part repartitions
-    # above — paying 32 tasks × ~4 stages × rounds of scheduling for a
-    # loop whose data fits n_part partitions. Pin the width to n_part
-    # for the fixpoint and restore afterwards.
-    shuf_key = "spark.sql.shuffle.partitions"
-    shuf_before = spark.conf.get(shuf_key)
-    spark.conf.set(shuf_key, str(n_part))
-    # Whole-stage codegen compiles fresh generated classes for every
-    # round's (join, agg, project) stages — ~100 ms of janino per stage,
-    # paid once per ROUND here because each round is a new plan. That is
-    # a win only while rounds are tiny; past CODEGEN_OFF_MAX_EDGES the
-    # interpreted-evaluation penalty on millions of rows per round costs
-    # more than compilation, so codegen stays on for big graphs.
-    cg_key = "spark.sql.codegen.wholeStage"
-    cg_before = spark.conf.get(cg_key)
-    if n_edges <= CODEGEN_OFF_MAX_EDGES:
-        spark.conf.set(cg_key, "false")
-    try:
+    # Loop conf hygiene — AQE off (its per-exchange query-stage
+    # materialization adds whole jobs per round to a loop whose width
+    # n_part is already decided from the real edge count), shuffle
+    # width pinned to n_part, codegen off below the size gate. r10:
+    # via _loop_confs, which also restores previously-UNSET keys by
+    # unsetting them (the old effective-value restore flipped them to
+    # explicitly-set — flagged by the registry-wide conf-leak gate).
+    with _loop_confs(spark, n_edges):
         converged = False
         if algorithm in ("auto", "label"):
             for _ in range(max_iter):
@@ -367,10 +401,6 @@ def connected_components(
             labels = _star_fixpoint(sym).select(
                 "node", F.col("cluster_id").alias("label")
             )
-    finally:
-        spark.conf.set(aqe_key, aqe_before)
-        spark.conf.set(shuf_key, shuf_before)
-        spark.conf.set(cg_key, cg_before)
     # The final labels stay persisted (one narrow row per clustered node,
     # already materialized by the convergence count) so consuming the
     # result doesn't re-run the whole fixpoint lineage.
@@ -464,20 +494,11 @@ def pagerank(
     # than the rounds themselves. Codegen-off is gated on graph size —
     # interpreting millions of edge rows per round costs more than the
     # per-round janino compilation it saves.
-    keys = {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": str(n_part),
-    }
-    if n_edges <= CODEGEN_OFF_MAX_EDGES:
-        keys["spark.sql.codegen.wholeStage"] = "false"
-    # conf.get(k) with no fallback returns the config's EFFECTIVE value
-    # (its built-in default when unset); a literal fallback like "true"
-    # would be restored verbatim into e.g. shuffle.partitions on a
-    # vanilla session that never set these keys explicitly.
-    before = {k: spark.conf.get(k) for k in keys}
-    for k, v in keys.items():
-        spark.conf.set(k, v)
-    try:
+    # r10: via _loop_confs (shared with every other graph fixpoint),
+    # which also restores previously-unset keys by UNSETTING them —
+    # the old effective-value restore left them explicitly set, which
+    # the registry-wide conf-leak gate flags.
+    with _loop_confs(spark, n_edges):
         if small_v:
             # Broadcast loop: the (rank, outdeg) vector — |V| rows — is
             # the broadcast build side each round, so the persisted edge
@@ -560,9 +581,6 @@ def pagerank(
         withdeg.unpersist()
         nodes.unpersist()
         return ranks
-    finally:
-        for k, v in before.items():
-            spark.conf.set(k, v)
 
 
 def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
@@ -603,30 +621,34 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         # on auth.agg below with a confusing NoneType error (ADVICE r6)
         raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
     e = materialize_shared(edges.distinct())
+    n_edges = e.count()  # over materialized blocks; sizes the loop
     hub = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("h")
     )
     auth = None
-    for i in range(n_iter):
-        last = i == n_iter - 1
-        auth = (
-            e.join(hub, e["src"] == hub["node"])
-            .groupBy(e["dst"].alias("node"))
-            .agg(F.sum("h").alias("a"))
-        )
-        if last:
-            # two consumers (final hub update + output) — materialize;
-            # intermediate auths feed exactly one join and stay lazy
-            auth = materialize_shared(auth)
-        hub = (
-            e.join(auth, e["dst"] == auth["node"])
-            .groupBy(e["src"].alias("node"))
-            .agg(F.sum("a").alias("h"))
-        )
-        if last or i % 4 == 3:
-            # final hub branches (totals agg + output); intermediate
-            # cuts only every 4th round to bound analysis depth
-            hub = materialize_shared(hub)
+    # r10: CC-style loop conf hygiene around the alternating rounds
+    with _loop_confs(e.sparkSession, n_edges):
+        for i in range(n_iter):
+            last = i == n_iter - 1
+            auth = (
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy(e["dst"].alias("node"))
+                .agg(F.sum("h").alias("a"))
+            )
+            if last:
+                # two consumers (final hub update + output) —
+                # materialize; intermediate auths feed exactly one
+                # join and stay lazy
+                auth = materialize_shared(auth)
+            hub = (
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy(e["src"].alias("node"))
+                .agg(F.sum("a").alias("h"))
+            )
+            if last or i % 4 == 3:
+                # final hub branches (totals agg + output); intermediate
+                # cuts only every 4th round to bound analysis depth
+                hub = materialize_shared(hub)
     h_tot = hub.agg(F.sum("h").alias("t"))
     a_tot = auth.agg(F.sum("a").alias("t"))
     return (
@@ -850,29 +872,39 @@ def bfs_levels(
         .select("e.src", "e.dst")
     )
     sym = materialize_shared(sym)
+    # ONE control job yields both the default source and the edge count
+    # that sizes the loop (r10 — the count used to be implicit in AQE's
+    # per-round re-planning; now it pins the loop width once)
+    ctrl = sym.agg(
+        F.min("src").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    n_sym = ctrl["n"]
     if source is None:
-        source = sym.agg(F.min("src")).collect()[0][0]  # 1-row control
+        source = ctrl["mn"]
         if source is None:  # no edges after canonicalization
             return spark.createDataFrame([], "node long, level int")
     visited = spark.createDataFrame(
         [(int(source), 0)], "node long, level int"
     )
     frontier = visited
-    for lvl in range(1, max_depth + 1):
-        nxt = materialize_shared(
-            frontier.join(sym, frontier["node"] == sym["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("level", F.lit(lvl))
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        # no checkpoint needed: both union legs are already materialized
-        # LogicalRDDs (or the 1-row seed), so the visited plan stays a
-        # flat k-leg union — lineage cannot compound across rounds
-        visited = visited.union(nxt)
-        frontier = nxt
+    # r10: same loop conf hygiene as CC/PageRank (was 41 jobs at sf0.1)
+    with _loop_confs(spark, n_sym):
+        for lvl in range(1, max_depth + 1):
+            nxt = materialize_shared(
+                frontier.join(sym, frontier["node"] == sym["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("level", F.lit(lvl))
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            # no checkpoint needed: both union legs are already
+            # materialized LogicalRDDs (or the 1-row seed), so the
+            # visited plan stays a flat k-leg union — lineage cannot
+            # compound across rounds
+            visited = visited.union(nxt)
+            frontier = nxt
     return visited.orderBy("node")
 
 
@@ -904,41 +936,50 @@ def sssp(
         F.col("w").cast("bigint").alias("w"),
     )
     e = materialize_shared(e)
+    # one control job for default source AND the loop-sizing count (r10)
+    ctrl = e.agg(
+        F.min("src").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
     if source is None:
-        source = e.agg(F.min("src")).collect()[0][0]  # 1-row control
+        source = ctrl["mn"]
         if source is None:
             return spark.createDataFrame([], "node long, dist long")
     dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
     frontier = dist  # nodes improved last round
-    for _ in range(rounds):
-        # raw relaxation rows fold into the SAME min-agg as the carry-
-        # over distances: one shuffle per round, not a candidate-side
-        # pre-agg plus a merge agg (min of mins == min of the union;
-        # map-side partial aggregation still combines before the wire)
-        cand = frontier.join(e, frontier["node"] == e["src"]).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("w")).alias("dist"),
-        )
-        merged = materialize_shared(
-            dist.unionByName(cand)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        # the improved frontier stays LAZY: it joins two already-
-        # materialized frames (merged and the pre-update dist), so its
-        # lineage is depth-1 and it is evaluated exactly once — inside
-        # the next round's cand job. One Spark action per round total;
-        # no per-round early-exit count (rounds is a small fixed bound
-        # and a drained frontier makes the remaining rounds empty
-        # joins, i.e. near-free).
-        frontier = (
-            merged.join(
-                dist.withColumnRenamed("dist", "old"), "node", "left"
+    # r10: CC-style loop conf hygiene around the relaxation rounds
+    with _loop_confs(spark, ctrl["n"]):
+        for _ in range(rounds):
+            # raw relaxation rows fold into the SAME min-agg as the
+            # carry-over distances: one shuffle per round, not a
+            # candidate-side pre-agg plus a merge agg (min of mins ==
+            # min of the union; map-side partial aggregation still
+            # combines before the wire)
+            cand = frontier.join(e, frontier["node"] == e["src"]).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
             )
-            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .select("node", "dist")
-        )
-        dist = merged
+            merged = materialize_shared(
+                dist.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # the improved frontier stays LAZY: it joins two already-
+            # materialized frames (merged and the pre-update dist), so
+            # its lineage is depth-1 and it is evaluated exactly once —
+            # inside the next round's cand job. One Spark action per
+            # round total; no per-round early-exit count (rounds is a
+            # small fixed bound and a drained frontier makes the
+            # remaining rounds empty joins, i.e. near-free).
+            frontier = (
+                merged.join(
+                    dist.withColumnRenamed("dist", "old"), "node", "left"
+                )
+                .filter(
+                    F.col("old").isNull() | (F.col("dist") < F.col("old"))
+                )
+                .select("node", "dist")
+            )
+            dist = merged
     return dist.orderBy("node")
 
 
@@ -988,23 +1029,27 @@ def kcore(
     e = materialize_shared(e)
     n_edges = e.count()
     converged = False
-    for _ in range(max_rounds):
-        deg = (
-            e.select(F.explode(F.array("u", "v")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("node")
-        new_e = materialize_shared(
-            e.join(keep, e["u"] == keep["node"], "left_semi").join(
-                keep, F.col("v") == keep["node"], "left_semi"
+    # r10: same loop conf hygiene as CC/PageRank — the peeling rounds
+    # were running under full AQE + batch shuffle width (56 Spark jobs
+    # at sf0.1, mostly stage materializations of tiny exchanges)
+    with _loop_confs(e.sparkSession, n_edges):
+        for _ in range(max_rounds):
+            deg = (
+                e.select(F.explode(F.array("u", "v")).alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
             )
-        )
-        n_new = new_e.count()
-        if n_new == n_edges:
-            converged = True
-            break
-        e, n_edges = new_e, n_new
+            keep = deg.filter(F.col("d") >= k).select("node")
+            new_e = materialize_shared(
+                e.join(keep, e["u"] == keep["node"], "left_semi").join(
+                    keep, F.col("v") == keep["node"], "left_semi"
+                )
+            )
+            n_new = new_e.count()
+            if n_new == n_edges:
+                converged = True
+                break
+            e, n_edges = new_e, n_new
     if not converged:
         # the last allowed round still removed edges; one extra degree
         # check decides whether it happened to LAND on the fixpoint
@@ -1259,6 +1304,15 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     if rounds < 1:
         raise ValueError("label_propagation needs rounds >= 1")
     sym = materialize_shared(sym)
+    n_sym = sym.count()  # over materialized blocks; sizes the loop
+    labels = None
+    # r10: CC-style loop conf hygiene around the sweeps
+    with _loop_confs(sym.sparkSession, n_sym):
+        labels = _lpa_rounds(sym, rounds)
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_rounds(sym: DataFrame, rounds: int) -> DataFrame:
     labels = None
     for rnd in range(rounds):
         if rnd == 0:
@@ -1289,4 +1343,4 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("label"))
         )
-    return labels.select("node", F.col("label").alias("community"))
+    return labels
