@@ -4700,31 +4700,34 @@ def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    states = p.select(F.col("prev").alias("state")).distinct()
-    n_states = states.agg(
-        F.count("*").cast("bigint").alias("k")
-    )
-    v = states.crossJoin(F.broadcast(n_states)).select(
-        "state",
-        F.floor(1000000.0 / F.col("k") + 0.5)
-        .cast("bigint")
-        .alias("pr"),
-    )
+    # r10: the 8 power iterations run DRIVER-SIDE over the collected
+    # matrix. P is |event_types|² rows — a contract-bounded value
+    # domain (the q118 local-relation precedent: collect a bounded
+    # table, do exact arithmetic in Python, hand Spark back a literal
+    # relation). The old lazily-chained broadcast-join loop cost ~2.5 s
+    # of pure stage scheduling at sf0.1 for a 25-row matrix; the
+    # fact-grain work (lag window, pair counts) stays distributed and
+    # P itself remains the checkpointed distributed aggregate. The
+    # arithmetic is the SAME exact-integer fixed point: BIGINT
+    # pr·w sums, then floor(x/1e6 + 0.5) in double — identical
+    # operations, identical results (oracle-hash-pinned).
+    import math
+
+    p_rows = [(r["prev"], r["nxt"], r["w"]) for r in p.collect()]
+    k = len({prev for prev, _, _ in p_rows})
+    pr = {prev: int(math.floor(1000000.0 / k + 0.5)) for prev, _, _ in p_rows}
     for _ in range(8):
-        v = (
-            p.join(
-                F.broadcast(v), p["prev"] == v["state"]
-            )
-            .groupBy(F.col("nxt").alias("state2"))
-            .agg(
-                F.floor(
-                    F.sum(F.col("pr") * F.col("w")) / 1000000.0 + 0.5
-                )
-                .cast("bigint")
-                .alias("pr")
-            )
-            .withColumnRenamed("state2", "state")
-        )
+        acc: dict[str, int] = {}
+        for prev, nxt, w in p_rows:
+            if prev in pr:
+                acc[nxt] = acc.get(nxt, 0) + pr[prev] * w
+        pr = {
+            s: int(math.floor(total / 1000000.0 + 0.5))
+            for s, total in acc.items()
+        }
+    v = spark.createDataFrame(
+        sorted(pr.items()), "state string, pr bigint"
+    )
     # ADVICE r7: the e6 row weights are floor-half-up of each
     # transition probability, so total mass sags slightly across the 8
     # iterations — renormalize the final vector by its own integer sum

@@ -150,7 +150,7 @@ REVIEW = {
     "q161_mutual_information": "ONE map-side-combined contingency agg checkpointed at the |nations|x|segments| grain; marginals/total are exact regroups of the checkpoint (zero fact scans in the final plan); MI terms are e12 fixed-point BIGINTs",
     "q162_logrank_test": "q131 shape: per-user agg then the (arm x duration) grid checkpointed; prefix-sum windows PARTITIONED BY ARM on the bounded grid; hypergeometric terms e12 fixed-point",
     "q163_quantile_normalize": "per-row exact micro-units -> calendar-bounded (type, day) grain checkpointed; rank window partitioned by type; rank-mean reference table joins back broadcast",
-    "q164_markov_stationary": "one fact-grain lag shuffle; transition matrix checkpointed at |types|^2 then 8 power iterations as lazily-chained broadcast joins in ONE job",
+    "q164_markov_stationary": "one fact-grain lag shuffle; transition matrix checkpointed at |types|^2, then (r10) the 8 power iterations run driver-side over the collected bounded-domain matrix (q118 local-relation precedent; exact BIGINT/floor-half-up arithmetic identical to the old broadcast-join loop, oracle-hash-pinned) — the lazily-chained join loop cost ~2.5 s of stage scheduling for a 25-row matrix; renormalization reads the literal relation",
     "q165_survival_rmst": "q131 shape: per-user collapse checkpointed, area terms = exact BIGINT s*gap products on the bounded duration grid (allowlisted SP windows), one division at output",
     "llm_quality_calibration": "classifier shape: literal 64-weight model in per-row codegen, ONE explode + per-doc agg, then a 10-bin map-side-combined collapse; squared errors in exact integer e8 units",
     "llm_hard_negatives": "llm_similarity_topk shape: 20 anchors broadcast vs one corpus scan (brute-force anchor guard), negative rank window on pre-filtered candidates, 20-row positive table joined back broadcast",
