@@ -316,7 +316,7 @@ def _bpe_induce(
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Shared BPE induction loop: returns (learned merge rules, final
     word-frequency vocab with the fully-merged ``repr`` column)."""
-    from amadou_spark.scale import materialize_shared
+    from amadou_spark.scale import loop_confs, materialize_shared
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -333,36 +333,42 @@ def _bpe_induce(
             ),
         )
     )
+    n_words = vocab.count()  # over materialized blocks; sizes the loop
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
-        syms = F.filter(
-            F.split(F.col("repr"), BPE_SEP), lambda x: x != F.lit("")
-        )
-        n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
-        pairs = F.zip_with(
-            F.slice(syms, 1, n_pairs),
-            F.slice(syms, 2, n_pairs),
-            lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
-        )
-        top = (
-            vocab.select(F.explode(pairs).alias("p"), "cnt")
-            .groupBy("p.s1", "p.s2")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), "s1", "s2")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        row = top[0]
-        merges.append((rank, row.s1, row.s2, row.s1 + row.s2, row.n))
-        pat = BPE_SEP + row.s1 + BPE_SEP + row.s2 + BPE_SEP
-        rep = BPE_SEP + row.s1 + row.s2 + BPE_SEP
-        vocab = materialize_shared(
-            vocab.withColumn(
-                "repr", F.replace(F.col("repr"), F.lit(pat), F.lit(rep))
+    # r10: same loop conf hygiene as the graph fixpoints — each round
+    # is (argmax job + merge-apply materialization) over the bounded
+    # distinct-word table, which AQE + the batch shuffle width were
+    # padding with stage-materialization jobs.
+    with loop_confs(docs.sparkSession, n_words):
+        for rank in range(1, num_merges + 1):
+            syms = F.filter(
+                F.split(F.col("repr"), BPE_SEP), lambda x: x != F.lit("")
             )
-        )
+            n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
+            pairs = F.zip_with(
+                F.slice(syms, 1, n_pairs),
+                F.slice(syms, 2, n_pairs),
+                lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+            )
+            top = (
+                vocab.select(F.explode(pairs).alias("p"), "cnt")
+                .groupBy("p.s1", "p.s2")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.col("n").desc(), "s1", "s2")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            merges.append((rank, row.s1, row.s2, row.s1 + row.s2, row.n))
+            pat = BPE_SEP + row.s1 + BPE_SEP + row.s2 + BPE_SEP
+            rep = BPE_SEP + row.s1 + row.s2 + BPE_SEP
+            vocab = materialize_shared(
+                vocab.withColumn(
+                    "repr", F.replace(F.col("repr"), F.lit(pat), F.lit(rep))
+                )
+            )
 
     return merges, vocab

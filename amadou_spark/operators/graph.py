@@ -46,58 +46,12 @@ LOCAL_CC_MAX_EDGES = 2_000_000
 CODEGEN_OFF_MAX_EDGES = 200_000
 
 
-def _loop_width(spark, n_rows: int) -> int:
-    """Right-size an iterative loop's shuffle width to its real row
-    count (the decision AQE would make per stage, taken once for the
-    whole loop): ~50k rows per partition, capped at the core count."""
-    return max(
-        1, min(spark.sparkContext.defaultParallelism, n_rows // 50_000 + 1)
-    )
-
-
-from contextlib import contextmanager  # noqa: E402
-
-
-@contextmanager
-def _loop_confs(spark, n_rows: int):
-    """The iterative-loop conf hygiene the CC/PageRank loops pioneered
-    (r6-r8), factored out in r10 and applied to EVERY graph fixpoint
-    (kcore, BFS, SSSP, HITS, LPA had been paying the un-hygienic cost:
-    q98_kcore ran 56 Spark jobs at sf0.1, mostly AQE stage
-    materializations of per-round exchanges over tiny data):
-
-    - AQE off for the loop: its per-exchange query-stage
-      materialization adds whole jobs to every round whose width is
-      already decided here from the real row count;
-    - shuffle width pinned to ``_loop_width`` — the session default is
-      sized for batch scans, not for a loop over a shrunken graph;
-    - whole-stage codegen off below ``CODEGEN_OFF_MAX_EDGES`` — each
-      round is a NEW plan, so codegen re-compiles every stage every
-      round (~100 ms each), a loss while rounds are tiny.
-
-    Restoration tracks whether each key was EXPLICITLY set before
-    (conf.get(k, None) is None for unset keys): a previously-unset key
-    is UNSET again, not re-set to its effective default — re-setting
-    would flip the key from implicit to explicit, which the
-    registry-wide conf-leak gate (oracle.check_all, r10) correctly
-    reports as a leak. Restoration is in a finally."""
-    keys = {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": str(_loop_width(spark, n_rows)),
-    }
-    if n_rows <= CODEGEN_OFF_MAX_EDGES:
-        keys["spark.sql.codegen.wholeStage"] = "false"
-    before = {k: spark.conf.get(k, None) for k in keys}
-    for k, v in keys.items():
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in before.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+# The iterative-loop conf hygiene lives in amadou_spark.scale (r10:
+# factored out of the CC/PageRank loops and applied to every fixpoint
+# here plus the BPE induction loop in llm/text.py). Local aliases keep
+# the call sites short; CODEGEN_OFF_MAX_EDGES above is the same gate
+# loop_confs uses as its default.
+from amadou_spark.scale import loop_confs as _loop_confs  # noqa: E402
 
 
 def _local_components(edges_rows) -> list:

@@ -11,8 +11,67 @@ on by default in our sessions. These helpers cover what AQE can't:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Loop-hygiene codegen gate (shared with operators/graph.py, where it
+# was born): below this many rows per round, disabling whole-stage
+# codegen saves ~100 ms of janino compilation per stage per round;
+# above it the interpreted-evaluation penalty dominates.
+LOOP_CODEGEN_OFF_MAX_ROWS = 200_000
+
+
+def loop_width(spark: SparkSession, n_rows: int) -> int:
+    """Right-size an iterative loop's shuffle width to its real row
+    count (the decision AQE would make per stage, taken once for the
+    whole loop): ~50k rows per partition, capped at the core count."""
+    return max(
+        1, min(spark.sparkContext.defaultParallelism, n_rows // 50_000 + 1)
+    )
+
+
+@contextmanager
+def loop_confs(spark: SparkSession, n_rows: int):
+    """Conf hygiene for iterative fixpoint loops (CC/PageRank pioneered
+    it in r6-r8; r10 factored it here and applied it to every graph
+    fixpoint and the BPE induction loop):
+
+    - AQE off for the loop: its per-exchange query-stage
+      materialization adds whole jobs to every round whose width is
+      already decided here from the real row count (q98_kcore ran 56
+      Spark jobs at sf0.1 without this, mostly stage materializations
+      of tiny exchanges);
+    - shuffle width pinned via :func:`loop_width` — the session
+      default is sized for batch scans, not a loop over a small table;
+    - whole-stage codegen off below ``LOOP_CODEGEN_OFF_MAX_ROWS`` —
+      every round is a NEW plan, so codegen recompiles each stage each
+      round (~100 ms apiece), a loss while rounds are tiny.
+
+    Restoration tracks whether each key was EXPLICITLY set before
+    (``conf.get(k, None)`` is None for unset keys): a previously-unset
+    key is UNSET again, never re-set to its effective default —
+    re-setting would flip it to explicitly-set, which the
+    registry-wide conf-leak gate (oracle.check_all, r10) flags as a
+    leak. Restoration is in a finally."""
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(loop_width(spark, n_rows)),
+    }
+    if n_rows <= LOOP_CODEGEN_OFF_MAX_ROWS:
+        keys["spark.sql.codegen.wholeStage"] = "false"
+    before = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def materialize_shared(df: DataFrame) -> DataFrame:

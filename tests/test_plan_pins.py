@@ -11,8 +11,9 @@ Pins are written against the FINAL AQE plan (collect() first, then
 ``executedPlan().toString()`` truncated at the "Initial Plan" section)
 and use only properties that hold at ANY scale factor: absence lists
 always, minimum operator counts only where the plan shape guarantees
-them structurally (a 6-way dim join has >= 5 joins at any sf; q164's 8
-unrolled iterations are 8 joins by construction). Exact counts are
+them structurally (a 6-way dim join has >= 5 joins at any sf; q164's
+driver-side iteration yields a LocalTableScan by construction). Exact
+counts are
 deliberately avoided — AQE may legally specialize empty branches at
 tiny sf.
 """
@@ -48,14 +49,16 @@ PINS: dict[str, tuple[list[str], dict[str, int]]] = {
         ["SortMergeJoin", "CartesianProduct", "Exchange SinglePartition"],
         {"BroadcastHashJoin": 3, "LocalTableScan": 3},
     ),
-    # 8 unrolled power iterations = 8 broadcast joins against the
-    # checkpointed |types|^2 matrix, in one job. (SinglePartition is
+    # r10: the 8 power iterations run driver-side over the collected
+    # bounded |types|^2 matrix, so the returned plan is the local
+    # stationary vector renormalized against a 1-row broadcast
+    # aggregate — no distributed join may reappear. (SinglePartition is
     # NOT forbidden here: the |states|-row final sort and the 1-row
     # renormalization aggregate are allowlisted bounded grains —
     # tools/plans.py sp_audit owns that nuance.)
     "q164_markov_stationary": (
-        ["SortMergeJoin", "CartesianProduct"],
-        {"BroadcastHashJoin": 8},
+        ["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"],
+        {"Scan ExistingRDD": 1},
     ),
     # iterative graph ops: final plans read checkpointed rounds, but a
     # cartesian or single-partition regression in the tail still shows
