@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from amadou_spark.llm.text import portable_token_hash, tokens
-from amadou_spark.scale import materialize_shared
+from amadou_spark.scale import gate_confs, materialize_shared
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -169,10 +169,13 @@ def _shingle_pair_counts(
     # upstream docs lineage a second time (docs itself is uncached).
     # both gate bounds in ONE job over the checkpointed blocks (r10 —
     # they were two separate actions; each action is a full job and the
-    # bounds feed planning only, so fusing them is free)
-    stats = sh.agg(
-        F.countDistinct("doc_id").alias("nd"), F.count("*").alias("nr")
-    ).first()
+    # bounds feed planning only, so fusing them is free). gate_confs
+    # (AQE off for the action) keeps it one job — under AQE this tiny
+    # agg materializes 3 query-stage jobs.
+    with gate_confs(docs.sparkSession):
+        stats = sh.agg(
+            F.countDistinct("doc_id").alias("nd"), F.count("*").alias("nr")
+        ).first()
     n_docs = stats["nd"]
     hot_bound = stats["nr"] // max_shingle_freq
     sh = sh.join(_gate(hot, hot_bound), "shingle", "left_anti")
@@ -466,7 +469,11 @@ def minhash_lsh_pairs(
     # size-gated (see BROADCAST_ROWS_GATE); the bound comes from the
     # checkpointed sh (|distinct doc_id| == |counts| <= |docs|), not a
     # second full scan of the uncached docs lineage
-    n_docs = sh.select("doc_id").distinct().count()
+    # planning-only bound: one countDistinct job under gate_confs
+    # (the old distinct().count() spelled the same number as 3 AQE
+    # stage jobs)
+    with gate_confs(docs.sparkSession):
+        n_docs = sh.agg(F.countDistinct("doc_id")).first()[0]
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))

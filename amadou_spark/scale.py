@@ -74,6 +74,30 @@ def loop_confs(spark: SparkSession, n_rows: int):
                 spark.conf.set(k, v)
 
 
+@contextmanager
+def gate_confs(spark: SparkSession):
+    """Conf hygiene for tiny planning-gate ACTIONS (a bound-probing
+    count/first over already-materialized blocks, whose result only
+    feeds broadcast-hint decisions). Under AQE such an action spawns
+    one job per query stage — measured 3 jobs for the fused
+    countDistinct+count gate in ``_shingle_pair_counts`` — while the
+    work itself is a sub-second scan of checkpointed blocks. AQE has
+    nothing to adapt there (the input is materialized, the output is
+    <=1 row), so turn it off for the action and collapse it back to a
+    single job. Same explicit-vs-unset restore discipline as
+    :func:`loop_confs` (the registry-wide conf-leak gate checks it)."""
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
 def materialize_shared(df: DataFrame) -> DataFrame:
     """Eagerly materialize a DataFrame that multiple consumers will
     read (shared subtrees in one plan, or rounds of an iterative loop),
