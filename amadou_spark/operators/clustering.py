@@ -42,27 +42,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _centroid_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+def _double_sql(x: float) -> str:
+    """Exact double literal for SQL text: Python ``repr`` emits the
+    shortest decimal that round-trips to the same IEEE double, and
+    Spark's parser reads the ``D`` suffix through Double.parseDouble —
+    bit-identical to the ``F.lit(float(x))`` it replaces."""
+    return repr(float(x)) + "D"
 
 
-def _rounded_distance(vec_col: Column, centroid: list[float]) -> Column:
+def _centroid_array_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(_double_sql(x) for x in vec) + ")"
+
+
+def _rounded_distance_sql(vec_col: str, centroid: list[float]) -> str:
     """Euclidean distance to a literal centroid, rounded to 6 decimals
     (both engines sum the squared diffs left-to-right; rounding kills
-    the residual association noise)."""
-    return F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    _centroid_literal(centroid),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-        6,
+    the residual association noise). Emitted as SQL TEXT, not a Column
+    tree: the k*dim literal expression is parsed JVM-side in one call —
+    building it from k*dim ``F.lit`` Columns plus lambda conversions
+    cost ~0.7 s of driver py4j round-trips PER assignment pass
+    (measured r10), which dominated the whole query."""
+    return (
+        f"round(sqrt(aggregate(zip_with(`{vec_col}`, "
+        f"{_centroid_array_sql(centroid)}, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, x) -> acc + x)), 6)"
     )
 
 
@@ -75,16 +78,14 @@ def assign_to_centroids(
     expression: an array_min over k (rounded_dist, cid) structs — the
     struct ordering IS the tie-break (lowest cid wins on equal rounded
     distance)."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _rounded_distance(F.col(vec_col), c).alias("dist"),
-                    F.lit(cid).cast("int").alias("cluster"),
-                )
-                for cid, c in centroids
-            ]
+    best = F.expr(
+        "array_min(array("
+        + ",".join(
+            f"struct({_rounded_distance_sql(vec_col, c)} AS dist, "
+            f"CAST({int(cid)} AS INT) AS cluster)"
+            for cid, c in centroids
         )
+        + "))"
     )
     return df.withColumn("_best", best).withColumn(
         "cluster", F.col("_best.cluster")
@@ -150,33 +151,23 @@ def jl_sign(i: int, j: int) -> int:
 
 
 def random_projection(
-    vec_col: Column, out_dim: int, in_dim: int
+    vec_col: str, out_dim: int, in_dim: int
 ) -> Column:
     """JL sign-matrix projection as ONE array expression: element i is
     round(sum_j sign(i,j) * v[j] / sqrt(in_dim), 6). No shuffle, no
     UDF — out_dim aggregate-folds over literal sign rows, all inside
-    whole-stage codegen."""
-    scale = float(in_dim) ** 0.5
-    return F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(
-                            *[
-                                F.lit(float(jl_sign(i, j)))
-                                for j in range(in_dim)
-                            ]
-                        ),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / F.lit(scale),
-                6,
-            )
-            for i in range(out_dim)
-        ]
+    whole-stage codegen. Takes the vector COLUMN NAME: the expression
+    is emitted as SQL text parsed JVM-side in one call (out_dim*in_dim
+    ``F.lit`` Columns plus per-element lambda conversion cost ~1 s of
+    driver py4j round-trips — see ``_rounded_distance_sql``)."""
+    scale = _double_sql(float(in_dim) ** 0.5)
+    elems = ",".join(
+        f"round(aggregate(zip_with(`{vec_col}`, "
+        + "array("
+        + ",".join(_double_sql(jl_sign(i, j)) for j in range(in_dim))
+        + "), (a, b) -> a * b), 0.0D, (acc, x) -> acc + x) / {s}, 6)".format(
+            s=scale
+        )
+        for i in range(out_dim)
     )
+    return F.expr(f"array({elems})")

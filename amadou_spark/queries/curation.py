@@ -1514,7 +1514,7 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "vec_id",
             F.posexplode(
-                random_projection(F.col("v"), out_dim=16, in_dim=64)
+                random_projection("v", out_dim=16, in_dim=64)
             ).alias("dim", "p"),
         )
         .orderBy("vec_id", "dim")

@@ -606,7 +606,7 @@ def test_random_projection_preserves_relative_distance(spark):
         r.vec_id: r.p
         for r in df.select(
             "vec_id",
-            random_projection(F.col("v"), out_dim=16, in_dim=64).alias("p"),
+            random_projection("v", out_dim=16, in_dim=64).alias("p"),
         ).collect()
     }
     d = lambda a, b: math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))  # noqa: E731
