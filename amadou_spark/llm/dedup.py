@@ -281,29 +281,40 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The signature is a signed BIGINT; bit 63 is represented through the
     two's-complement negative term, identical in Spark and DuckDB.
     """
+    # Expressions emitted as SQL text, not Column trees: the 64 vote
+    # aggregates plus the 64-term signature recombination cost ~750
+    # driver py4j round-trips per build the Column way (r10 measured the
+    # same pattern dominating llm_kmeans); as text the JVM parses each
+    # in one call. Identical operators underneath (md5/conv/shiftright/
+    # conditional SUM), bit-identical signatures.
     toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
-    md5c = F.md5(F.col("tok"))
-    h_lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint")
-    h_hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint")
+    hashed = toks.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h_lo",
+        "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS h_hi",
+    )
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(h_lo if b < 32 else h_hi, b % 32).bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(
+            f"SUM(CASE WHEN (shiftright({'h_lo' if b < 32 else 'h_hi'}, "
+            f"{b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
         for b in range(SIMHASH_BITS)
     ]
-    sig = None
-    for b in range(SIMHASH_BITS):
-        # bit 63 of a signed 64-bit value is the sign bit: adding
-        # -2^63 sets it without overflowing (the low 63 bits sum < 2^63)
-        weight = -(2**63) if b == 63 else 2**b
-        term = F.when(F.col(f"v{b}") > 0, F.lit(weight).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return toks.groupBy("doc_id").agg(*votes).select("doc_id", sig.alias("simhash"))
+    # bit 63 of a signed 64-bit value is the sign bit: adding -2^63
+    # sets it without overflowing (the low 63 bits sum < 2^63); the
+    # bare positive literal would overflow the parser, hence the
+    # -9223372036854775807 - 1 spelling
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST("
+        + ("-9223372036854775807 - 1" if b == 63 else str(2**b))
+        + " AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*votes)
+        .selectExpr("doc_id", f"{sig} AS simhash")
+    )
 
 
 def simhash_near_pairs(
@@ -421,28 +432,26 @@ def minhash_lsh_pairs(
     sh = materialize_shared(sh)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
+    # signature + banding expressions as SQL text (one JVM parse each)
+    # rather than ~180 py4j Column calls — same affine min-hash
+    # arithmetic, identical int->bigint promotions
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            F.expr(f"MIN(({a} * x + {b}) % {MINHASH_P}) AS m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        *[
-                            F.col(f"m{band * rows_per_band + j}").alias(f"k{j}")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
+    band_structs = ",".join(
+        f"named_struct('band', {band}, "
+        + ", ".join(
+            f"'k{j}', m{band * rows_per_band + j}"
+            for j in range(rows_per_band)
+        )
+        + ")"
+        for band in range(n_bands)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bv"
     ).select("doc_id", "bv.*")
 
     a, b = bands.alias("a"), bands.alias("b")
