@@ -701,7 +701,13 @@ def bloom_prune(
     """
     dim_nn = dim_keys.filter(F.col(dim_key).isNotNull())
     if n_bits is None:
-        n_keys = max(dim_nn.select(dim_key).distinct().count(), 1)
+        # sizing gate: one countDistinct job under gate_confs (AQE has
+        # nothing to adapt in a 1-row bound probe; it would spawn 3
+        # query-stage jobs for the distinct().count() spelling)
+        with gate_confs(dim_keys.sparkSession):
+            n_keys = max(
+                dim_nn.agg(F.countDistinct(dim_key)).first()[0] or 0, 1
+            )
         n_bits = 8192
         while n_bits < n_keys * 12 and n_bits < (1 << 26):
             n_bits *= 2

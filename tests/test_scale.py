@@ -434,3 +434,37 @@ def test_ntile_domain_tables_local_rejects_nulls_by_name(spark):
     )
     with pytest.raises(ValueError, match="'a'"):
         ntile_domain_tables_local(df, [("a", 4, "a")])
+
+
+def test_loop_and_gate_confs_restore_unset_keys(spark):
+    """loop_confs/gate_confs must restore a previously-UNSET key to
+    UNSET (not re-set it to its effective default): the registry-wide
+    conf-leak gate diffs the EXPLICIT conf map, so flipping a key from
+    implicit to explicit is a leak (r10)."""
+    from amadou_spark.scale import gate_confs, loop_confs
+
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.codegen.wholeStage",
+    ]
+
+    def explicit(k):
+        # RuntimeConfig.get(k, None) is None only for unset keys
+        return spark.conf.get(k, None)
+
+    before = {k: explicit(k) for k in keys}
+    with loop_confs(spark, 10):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+    with gate_confs(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    after = {k: explicit(k) for k in keys}
+    assert after == before, f"conf leak: {before} -> {after}"
+
+    # restore must also run on exception (finally path)
+    with pytest.raises(RuntimeError):
+        with gate_confs(spark):
+            raise RuntimeError("boom")
+    assert {k: explicit(k) for k in keys} == before
