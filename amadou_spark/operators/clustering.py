@@ -46,8 +46,21 @@ def _double_sql(x: float) -> str:
     """Exact double literal for SQL text: Python ``repr`` emits the
     shortest decimal that round-trips to the same IEEE double, and
     Spark's parser reads the ``D`` suffix through Double.parseDouble —
-    bit-identical to the ``F.lit(float(x))`` it replaces."""
-    return repr(float(x)) + "D"
+    bit-identical to the ``F.lit(float(x))`` it replaces.
+
+    Non-finite doubles have no ``D``-suffix literal form (``nanD``
+    would lex as an identifier and crash the parse, a regression vs
+    the F.lit path, which built valid NaN/Infinity literals — e.g. a
+    single corrupt embedding makes a round-1 centroid mean NaN); they
+    are emitted as the CAST form both engines parse."""
+    x = float(x)
+    if x != x:  # NaN
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _centroid_array_sql(vec: list[float]) -> str:

@@ -52,6 +52,7 @@ CODEGEN_OFF_MAX_EDGES = 200_000
 # the call sites short; CODEGEN_OFF_MAX_EDGES above is the same gate
 # loop_confs uses as its default.
 from amadou_spark.scale import loop_confs as _loop_confs  # noqa: E402
+from amadou_spark.scale import loop_width as _loop_width  # noqa: E402
 
 
 def _local_components(edges_rows) -> list:
@@ -277,8 +278,7 @@ def connected_components(
     # rounds run over the (usually tiny, always <= 2x input) edge list,
     # and default shuffle partitions would pay scheduling overhead per
     # round out of all proportion to the data.
-    n_part = max(1, min(spark.sparkContext.defaultParallelism,
-                        n_edges // 50_000 + 1))
+    n_part = _loop_width(spark, n_edges)
     sym = directed.union(
         directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().repartition(n_part, "b")
@@ -432,8 +432,7 @@ def pagerank(
             rank = base + damping * contrib
         out = pd.DataFrame({"node": nodes, "rank": rank})
         return spark.createDataFrame(out)
-    n_part = max(1, min(spark.sparkContext.defaultParallelism,
-                        n_edges // 50_000 + 1))
+    n_part = _loop_width(spark, n_edges)
     # The degree table is |V| rows vs |E| edge rows; persisting and
     # counting it gives n_nodes (the broadcast-feasibility gate) AND the
     # materialized build side every later step reuses.
@@ -1259,7 +1258,6 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         raise ValueError("label_propagation needs rounds >= 1")
     sym = materialize_shared(sym)
     n_sym = sym.count()  # over materialized blocks; sizes the loop
-    labels = None
     # r10: CC-style loop conf hygiene around the sweeps
     with _loop_confs(sym.sparkSession, n_sym):
         labels = _lpa_rounds(sym, rounds)

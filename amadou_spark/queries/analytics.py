@@ -4725,8 +4725,15 @@ def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             s: int(math.floor(total / 1000000.0 + 0.5))
             for s, total in acc.items()
         }
+    # None-safe sort key: a NULL event_type reaches pr as a None state
+    # (the old distributed loop's groupBy(nxt) kept NULL as a group and
+    # the final orderBy sorted it NULLS FIRST; a bare sorted() would
+    # TypeError on the None key). The sort here only stabilizes
+    # createDataFrame input — the query's orderBy("state") governs
+    # output order either way.
     v = spark.createDataFrame(
-        sorted(pr.items()), "state string, pr bigint"
+        sorted(pr.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")),
+        "state string, pr bigint",
     )
     # ADVICE r7: the e6 row weights are floor-half-up of each
     # transition probability, so total mass sags slightly across the 8

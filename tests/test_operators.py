@@ -587,6 +587,26 @@ def test_kmeans_empty_cluster_drops_out(spark):
     assert len({r.cluster for r in out}) <= 4
 
 
+def test_kmeans_survives_non_finite_coordinates(spark):
+    """r10 regression guard: the SQL-text literal emitter must handle
+    non-finite doubles (one NaN coordinate makes a round-1 centroid
+    mean NaN; a bare ``nanD`` token would lex as an identifier and
+    crash the parse — the F.lit path it replaced built valid NaN
+    literals)."""
+    from amadou_spark.operators.clustering import _double_sql, kmeans
+
+    assert _double_sql(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert _double_sql(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert _double_sql(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    df = _toy_vectors(spark, n_per=4)
+    bad = spark.createDataFrame(
+        [(999, [float("nan"), 0.0, 0.0, 0.0])],
+        "vec_id bigint, v array<double>",
+    )
+    out = kmeans(df.union(bad), "vec_id", "v", k=3, rounds=2).collect()
+    assert len(out) == 13  # plan builds and every row (incl. NaN) lands
+
+
 def test_random_projection_preserves_relative_distance(spark):
     """JL property smoke: far pairs stay far relative to near pairs
     after 64 -> 16 sign projection."""

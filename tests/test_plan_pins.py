@@ -12,7 +12,9 @@ Pins are written against the FINAL AQE plan (collect() first, then
 and use only properties that hold at ANY scale factor: absence lists
 always, minimum operator counts only where the plan shape guarantees
 them structurally (a 6-way dim join has >= 5 joins at any sf; q164's
-driver-side iteration yields a LocalTableScan by construction). Exact
+driver-side iteration yields a `Scan ExistingRDD` by construction —
+PySpark createDataFrame plans through applySchemaToPythonRDD, not a
+LocalRelation). Exact
 counts are
 deliberately avoided — AQE may legally specialize empty branches at
 tiny sf.
