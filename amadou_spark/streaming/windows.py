@@ -15,6 +15,7 @@ stream length — that is what makes these queries run forever at scale.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +51,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_stream_to_table(
     stream_df: DataFrame,
     mode: str = "complete",
-    state_partitions: int = 4,
+    state_partitions: int | None = None,
     confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drive a (finite) streaming query to completion through a memory
@@ -64,15 +65,15 @@ def run_stream_to_table(
     store bookkeeping than on data (measured 7.7s → 1.2s at sf0.1).
     Size it to expected STATE, not batch shuffle width; the conf is
     saved/restored around start so the session default is untouched.
-    r10: default 8 → 4 — a paired sweep at sf0.1 measured the
-    JVM-stateful family (windows, joins, dedup) ~15-25% faster at 4
-    (fewer RocksDB instances to open/commit per batch) with no loss
-    of useful parallelism at this state size. The two PYTHON-stateful
+    r10 picked 4 from a warm paired sweep; r11 re-measured under
+    driver conditions (cold JVM, 32 cores) and the default is now
+    ``None`` = read ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` (env,
+    local default below) — a deployment sizes this to expected state
+    volume, not to the local micro-benchmark. The two PYTHON-stateful
     queries (applyInPandasWithState, transformWithState) pass 8
-    explicitly: their per-partition work crosses the Python boundary,
-    and the same sweep measured them ~30% SLOWER at 4. At real state
-    volumes size this up via the parameter — it is per-query, not a
-    session constant.
+    explicitly: their per-partition work crosses the Python boundary
+    and was measured ~30% SLOWER at 4. It is per-query, not a session
+    constant.
 
     ``confs``: extra session confs the query must see at START (e.g.
     ``stateful.ROCKSDB_PROVIDER_CONF`` for transformWithState on a
@@ -81,17 +82,23 @@ def run_stream_to_table(
     VERDICT r8 #2 / ADVICE)."""
     spark = stream_df.sparkSession
     name = f"amadou_stream_{uuid.uuid4().hex[:8]}"
+    if state_partitions is None:
+        state_partitions = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+        )
     to_set = dict(confs or {})
     to_set["spark.sql.shuffle.partitions"] = str(state_partitions)
     # r10: changelog checkpointing must be ON at query start for the
     # commit path to write deltas instead of full per-store snapshots
     # (see session.py _DEFAULTS — this covers vanilla sessions too).
-    # Caller-provided confs win; set/restored like everything else.
-    to_set.setdefault(
+    # Caller-provided confs win, then an EXPLICIT session conf (so a
+    # probe/deployment session can turn it off), then the engine
+    # default; set/restored like everything else.
+    _cl_key = (
         "spark.sql.streaming.stateStore.rocksdb."
-        "changelogCheckpointing.enabled",
-        "true",
+        "changelogCheckpointing.enabled"
     )
+    to_set.setdefault(_cl_key, spark.conf.get(_cl_key, "true"))
     saved = {k: spark.conf.get(k, None) for k in to_set}
     for k, v in to_set.items():
         spark.conf.set(k, v)

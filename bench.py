@@ -180,6 +180,27 @@ def main() -> None:
                 payload["drift_median"] = round(
                     statistics.median(common), 3
                 )
+                # r11 (VERDICT r10 #8): name the biggest per-query movers
+                # vs the prior round IN the stdout line, so a 3-4x win on
+                # a query that left the slow tail (or a big regression)
+                # can't silently vanish from the driver's tail window.
+                # speedup = prior/now (>1 improved), only movers outside
+                # [0.8, 1.25], capped at 8 entries. Additions-only.
+                import math
+
+                movers = sorted(
+                    (
+                        (q, prior["queries"][q] / timings[q])
+                        for q in timings
+                        if prior["queries"].get(q) and timings[q] > 0
+                    ),
+                    key=lambda kv: -abs(math.log(kv[1])),
+                )
+                payload["top_deltas"] = {
+                    q: round(r, 2)
+                    for q, r in movers[:8]
+                    if r < 0.8 or r > 1.25
+                }
             break
     except Exception:
         pass  # drift annotation is best-effort, never blocks the line
